@@ -1,0 +1,217 @@
+"""Binvox voxel-file I/O.
+
+Reads and writes the run-length-encoded ``.binvox`` format (format spec:
+https://www.patrickmin.com/binvox/binvox.html). Feature-parity target is the
+reference reader/writer at ``tools/binvox_rw.py:5-241`` (header parse, dense
+and sparse forms, the xzy->xyz axis fix, RLE writer with 255-run flush), but
+the implementation here is a fresh, fully vectorized numpy codec: runs are
+expanded with ``np.repeat`` and re-encoded with a single diff/cumsum pass
+instead of a per-voxel Python loop.
+
+On-disk layout: after the ASCII header, payload bytes come in (value, count)
+pairs; the flat voxel order is x-major, then z, then y ("xzy").
+"""
+from __future__ import annotations
+
+import dataclasses
+import io as _io
+from typing import BinaryIO, Sequence
+
+import numpy as np
+
+__all__ = [
+    "Voxels",
+    "read_header",
+    "read_as_3d_array",
+    "read_as_coord_array",
+    "dense_to_sparse",
+    "sparse_to_dense",
+    "write",
+    "save_binvox",
+    "load_binvox",
+]
+
+
+@dataclasses.dataclass
+class Voxels:
+    """A binvox model.
+
+    ``data`` is either a 3-D bool array (dense) or a ``(3, N)`` coordinate
+    array (sparse). ``dims``/``translate``/``scale`` relate voxel indices to
+    model coordinates: ``x = scale * (i + .5) / dims[0] + translate[0]``.
+    ``axis_order`` records whether axis 1 is y (``"xyz"``) or z (``"xzy"``).
+    """
+
+    data: np.ndarray
+    dims: Sequence[int]
+    translate: Sequence[float]
+    scale: float
+    axis_order: str = "xyz"
+
+    def __post_init__(self) -> None:
+        if self.axis_order not in ("xyz", "xzy"):
+            raise ValueError(f"unsupported axis order: {self.axis_order!r}")
+
+    def clone(self) -> "Voxels":
+        return Voxels(
+            self.data.copy(), list(self.dims), list(self.translate),
+            self.scale, self.axis_order,
+        )
+
+    def write(self, fp: BinaryIO) -> None:
+        write(self, fp)
+
+
+def read_header(fp: BinaryIO) -> tuple[list[int], list[float], float]:
+    """Parse the ASCII header, leaving ``fp`` at the start of RLE payload."""
+    magic = fp.readline().strip()
+    if not magic.startswith(b"#binvox"):
+        raise IOError("not a binvox file (missing '#binvox' magic)")
+    dims: list[int] = []
+    translate = [0.0, 0.0, 0.0]
+    scale = 1.0
+    while True:
+        line = fp.readline()
+        if not line:
+            raise IOError("binvox header ended before 'data' line")
+        fields = line.strip().split()
+        if not fields:
+            continue
+        key = fields[0]
+        if key == b"dim":
+            dims = [int(v) for v in fields[1:4]]
+        elif key == b"translate":
+            translate = [float(v) for v in fields[1:4]]
+        elif key == b"scale":
+            scale = float(fields[1])
+        elif key == b"data":
+            break
+    if len(dims) != 3:
+        raise IOError("binvox header missing 'dim' line")
+    return dims, translate, scale
+
+
+def _decode_rle(raw: np.ndarray, n_expected: int) -> np.ndarray:
+    values, counts = raw[::2], raw[1::2]
+    flat = np.repeat(values, counts).astype(bool)
+    if flat.size != n_expected:
+        raise IOError(
+            f"binvox payload decodes to {flat.size} voxels, expected {n_expected}"
+        )
+    return flat
+
+
+def read_as_3d_array(fp: BinaryIO, fix_coords: bool = True) -> Voxels:
+    """Read a binvox stream into a dense 3-D bool array.
+
+    With ``fix_coords`` (default), the on-disk xzy layout is transposed to
+    xyz so that ``data[i, j, k]`` indexes (x, y, z) — matching the reference
+    reader's behaviour (``tools/binvox_rw.py:87-90``).
+    """
+    dims, translate, scale = read_header(fp)
+    raw = np.frombuffer(fp.read(), dtype=np.uint8)
+    data = _decode_rle(raw, int(np.prod(dims))).reshape(dims)
+    if fix_coords:
+        data = np.transpose(data, (0, 2, 1))
+        axis_order = "xyz"
+    else:
+        axis_order = "xzy"
+    return Voxels(data, dims, translate, scale, axis_order)
+
+
+def read_as_coord_array(fp: BinaryIO, fix_coords: bool = True) -> Voxels:
+    """Read a binvox stream into a sparse ``(3, N)`` coordinate array."""
+    vox = read_as_3d_array(fp, fix_coords=True)
+    x, y, z = np.nonzero(vox.data)
+    if fix_coords:
+        data = np.vstack((x, y, z))
+        axis_order = "xyz"
+    else:
+        data = np.vstack((x, z, y))
+        axis_order = "xzy"
+    return Voxels(
+        np.ascontiguousarray(data), vox.dims, vox.translate, vox.scale, axis_order
+    )
+
+
+def dense_to_sparse(voxel_data: np.ndarray, dtype=np.int64) -> np.ndarray:
+    """Dense 3-D array -> ``(3, N)`` nonzero coordinates (no reordering)."""
+    if voxel_data.ndim != 3:
+        raise ValueError("voxel_data should be a 3-D array")
+    return np.asarray(np.nonzero(voxel_data), dtype)
+
+
+def sparse_to_dense(voxel_data: np.ndarray, dims, dtype=bool) -> np.ndarray:
+    """``(3, N)`` coordinates -> dense array, discarding out-of-range voxels."""
+    if voxel_data.ndim != 2 or voxel_data.shape[0] != 3:
+        raise ValueError("voxel_data should be a (3, N) array")
+    if np.isscalar(dims):
+        dims = [int(dims)] * 3
+    dims = [int(d) for d in dims]
+    xyz = voxel_data.astype(np.int64)
+    lim = np.asarray(dims).reshape(3, 1)
+    valid = ~np.any((xyz < 0) | (xyz >= lim), axis=0)
+    xyz = xyz[:, valid]
+    out = np.zeros(dims, dtype=dtype)
+    out[tuple(xyz)] = True
+    return out
+
+
+def _encode_rle(flat: np.ndarray) -> bytes:
+    """Vectorized RLE encode with the format's max-run-length of 255."""
+    flat = flat.astype(np.uint8)
+    if flat.size == 0:
+        return b""
+    boundaries = np.flatnonzero(np.diff(flat)) + 1
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [flat.size]))
+    values = flat[starts]
+    lengths = ends - starts
+    # Split runs longer than 255 into ceil(len/255) chunks.
+    n_chunks = -(-lengths // 255)
+    out_values = np.repeat(values, n_chunks)
+    out_counts = np.full(out_values.shape, 255, dtype=np.int64)
+    last_idx = np.cumsum(n_chunks) - 1
+    rem = lengths - (n_chunks - 1) * 255
+    out_counts[last_idx] = rem
+    pairs = np.empty(out_values.size * 2, dtype=np.uint8)
+    pairs[0::2] = out_values
+    pairs[1::2] = out_counts.astype(np.uint8)
+    return pairs.tobytes()
+
+
+def write(voxel_model: Voxels, fp: BinaryIO) -> None:
+    """Write a model in binary binvox format (sparse input is densified)."""
+    data = voxel_model.data
+    if data.ndim == 2:
+        data = sparse_to_dense(data, voxel_model.dims)
+    fp.write(b"#binvox 1\n")
+    fp.write(("dim " + " ".join(map(str, voxel_model.dims)) + "\n").encode())
+    fp.write(
+        ("translate " + " ".join(map(str, voxel_model.translate)) + "\n").encode()
+    )
+    fp.write(f"scale {voxel_model.scale}\n".encode())
+    fp.write(b"data\n")
+    if voxel_model.axis_order == "xyz":
+        flat = np.transpose(data, (0, 2, 1)).reshape(-1)
+    else:
+        flat = data.reshape(-1)
+    fp.write(_encode_rle(flat))
+
+
+def save_binvox(data: np.ndarray, fname: str) -> None:
+    """Save a dense 3-D binary array as ``.binvox`` (xyz order, unit scale)."""
+    model = Voxels(data, list(data.shape), [0.0, 0.0, 0.0], 1.0, "xyz")
+    with open(fname, "wb") as f:
+        model.write(f)
+
+
+def load_binvox(path: str, dtype=np.float32) -> np.ndarray:
+    """Convenience loader: path -> dense array with given dtype."""
+    with open(path, "rb") as f:
+        return read_as_3d_array(f).data.astype(dtype)
+
+
+def loads(buf: bytes) -> Voxels:
+    """Parse a binvox byte string (dense)."""
+    return read_as_3d_array(_io.BytesIO(buf))

@@ -1,0 +1,29 @@
+from rendernet_tpu.ops import phong, resample, transforms
+from rendernet_tpu.ops.resample import (
+    affine_resample,
+    rotate_resample,
+    rotate_resample_to_camera,
+    trilinear_gather,
+)
+from rendernet_tpu.ops.transforms import (
+    grid_to_grid_matrix,
+    image_to_voxel_axes,
+    pose_matrix,
+    silhouette,
+    voxel_to_image_axes,
+)
+
+__all__ = [
+    "phong",
+    "resample",
+    "transforms",
+    "affine_resample",
+    "rotate_resample",
+    "rotate_resample_to_camera",
+    "trilinear_gather",
+    "grid_to_grid_matrix",
+    "image_to_voxel_axes",
+    "pose_matrix",
+    "silhouette",
+    "voxel_to_image_axes",
+]

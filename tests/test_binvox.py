@@ -1,0 +1,85 @@
+"""binvox codec tests, run against the 5 reference assets + roundtrips."""
+import glob
+import io
+import os
+
+import numpy as np
+import pytest
+
+from rendernet_tpu.io import binvox
+
+ASSETS = sorted(glob.glob("/root/reference/binvox/*.binvox"))
+
+
+def _reference_decode(path):
+    """Independent minimal decoder used as oracle (RLE spec, xzy layout)."""
+    with open(path, "rb") as f:
+        assert f.readline().startswith(b"#binvox")
+        dims = None
+        while True:
+            line = f.readline()
+            if line.startswith(b"dim"):
+                dims = [int(v) for v in line.split()[1:]]
+            if line.startswith(b"data"):
+                break
+        raw = np.frombuffer(f.read(), dtype=np.uint8)
+    flat = np.repeat(raw[::2], raw[1::2]).astype(bool)
+    return flat.reshape(dims)
+
+
+@pytest.mark.parametrize("path", ASSETS, ids=[os.path.basename(p) for p in ASSETS])
+def test_read_matches_oracle(path):
+    with open(path, "rb") as f:
+        vox = binvox.read_as_3d_array(f)
+    oracle_xzy = _reference_decode(path)
+    assert vox.axis_order == "xyz"
+    np.testing.assert_array_equal(vox.data, np.transpose(oracle_xzy, (0, 2, 1)))
+    assert vox.data.shape == (64, 64, 64)
+    assert vox.data.any()
+
+
+@pytest.mark.parametrize("path", ASSETS[:2], ids=[os.path.basename(p) for p in ASSETS[:2]])
+def test_write_roundtrip(path, tmp_path):
+    with open(path, "rb") as f:
+        vox = binvox.read_as_3d_array(f)
+    out = tmp_path / "rt.binvox"
+    binvox.save_binvox(vox.data, str(out))
+    with open(out, "rb") as f:
+        again = binvox.read_as_3d_array(f)
+    np.testing.assert_array_equal(vox.data, again.data)
+
+
+def test_write_roundtrip_random(rng):
+    data = rng.random((16, 16, 16)) > 0.7
+    buf = io.BytesIO()
+    binvox.Voxels(data, [16, 16, 16], [0.0, 0.0, 0.0], 1.0, "xyz").write(buf)
+    buf.seek(0)
+    again = binvox.read_as_3d_array(buf)
+    np.testing.assert_array_equal(data, again.data)
+
+
+def test_long_run_encoding():
+    # A constant grid forces runs > 255 and exercises the run-split path.
+    data = np.ones((16, 16, 16), dtype=bool)
+    buf = io.BytesIO()
+    binvox.Voxels(data, [16, 16, 16], [0, 0, 0], 1.0, "xyz").write(buf)
+    buf.seek(0)
+    again = binvox.read_as_3d_array(buf)
+    np.testing.assert_array_equal(data, again.data)
+
+
+def test_sparse_roundtrip(rng):
+    data = rng.random((12, 12, 12)) > 0.8
+    sparse = binvox.dense_to_sparse(data)
+    dense = binvox.sparse_to_dense(sparse, 12)
+    np.testing.assert_array_equal(data, dense)
+
+
+def test_coord_array(rng):
+    path = ASSETS[0]
+    with open(path, "rb") as f:
+        dense = binvox.read_as_3d_array(f)
+    with open(path, "rb") as f:
+        coords = binvox.read_as_coord_array(f)
+    rebuilt = binvox.sparse_to_dense(coords.data, coords.dims)
+    np.testing.assert_array_equal(dense.data, rebuilt)

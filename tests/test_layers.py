@@ -1,0 +1,160 @@
+"""Layer-library tests: TF-semantics parity via torch + adjoint oracles."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from rendernet_tpu.nn import layers
+from rendernet_tpu.nn.layers import Module
+
+
+def tf_same_pads(in_size, k, s):
+    """TF SAME padding (possibly asymmetric)."""
+    out = -(-in_size // s)
+    total = max((out - 1) * s + k - in_size, 0)
+    return total // 2, total - total // 2
+
+
+def torch_conv2d_same(x_nhwc, w_hwio, stride):
+    """Oracle: TF-layout conv with SAME padding via torch."""
+    x = torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2))).double()
+    w = torch.from_numpy(np.transpose(w_hwio, (3, 2, 0, 1))).double()
+    ph = tf_same_pads(x_nhwc.shape[1], w_hwio.shape[0], stride[0])
+    pw = tf_same_pads(x_nhwc.shape[2], w_hwio.shape[1], stride[1])
+    x = F.pad(x, (pw[0], pw[1], ph[0], ph[1]))
+    y = F.conv2d(x, w, stride=stride)
+    return np.transpose(y.numpy(), (0, 2, 3, 1))
+
+
+def torch_conv3d_same(x, w_dhwio, stride):
+    xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))).double()
+    wt = torch.from_numpy(np.transpose(w_dhwio, (4, 3, 0, 1, 2))).double()
+    pads = [tf_same_pads(x.shape[i + 1], w_dhwio.shape[i], stride[i]) for i in range(3)]
+    # F.pad takes pads last-dim-first
+    xt = F.pad(
+        xt,
+        (pads[2][0], pads[2][1], pads[1][0], pads[1][1], pads[0][0], pads[0][1]),
+    )
+    y = F.conv3d(xt, wt, stride=stride)
+    return np.transpose(y.numpy(), (0, 2, 3, 4, 1))
+
+
+@pytest.mark.parametrize("stride", [(1, 1), (2, 2)])
+@pytest.mark.parametrize("hw", [8, 9])
+def test_conv2d_matches_tf_same(rng, stride, hw):
+    x = rng.standard_normal((2, hw, hw, 3)).astype(np.float32)
+    m = Module(rng=jax.random.PRNGKey(0))
+    y = layers.conv2d(m, jnp.asarray(x), 5, (4, 4), stride, scope="c", use_bias=False)
+    w = np.asarray(m.params["c/weights"])
+    oracle = torch_conv2d_same(x, w, stride)
+    np.testing.assert_allclose(np.asarray(y), oracle, atol=1e-4)
+
+
+@pytest.mark.parametrize("stride", [(2, 2, 2), (1, 1, 2)])
+def test_conv3d_matches_tf_same(rng, stride):
+    x = rng.standard_normal((1, 8, 8, 8, 2)).astype(np.float32)
+    m = Module(rng=jax.random.PRNGKey(0))
+    y = layers.conv3d(m, jnp.asarray(x), 4, (3, 3, 3), stride, scope="c", use_bias=False)
+    w = np.asarray(m.params["c/weights"])
+    oracle = torch_conv3d_same(x, w, stride)
+    np.testing.assert_allclose(np.asarray(y), oracle, atol=1e-4)
+
+
+@pytest.mark.parametrize("stride,ksize", [((2, 2), 4), ((1, 1), 4), ((2, 2), 3)])
+def test_conv2d_transpose_is_conv_adjoint(rng, stride, ksize):
+    """TF conv*_transpose IS the adjoint of the SAME forward conv — verify
+    our implementation against jax.linear_transpose of our own conv."""
+    b, h, w, cin, cout = 1, 6, 6, 3, 5
+    x = jnp.asarray(rng.standard_normal((b, h, w, cin)).astype(np.float32))
+    m = Module(rng=jax.random.PRNGKey(1))
+    y = layers.conv2d_transpose(
+        m, x, cout, (ksize, ksize), stride, scope="d", use_bias=False
+    )
+    assert y.shape == (b, h * stride[0], w * stride[1], cout)
+    wgt = m.params["d/weights"]  # [kh, kw, out, in]
+
+    def fwd(z):
+        # forward conv with the SAME kernel in TF layout [kh,kw,out,in]:
+        # conv(z[B,H*s,W*s,out]) -> [B,H,W,in]
+        return jax.lax.conv_general_dilated(
+            z,
+            jnp.transpose(wgt, (0, 1, 2, 3)),  # HWIO with I=out, O=in
+            window_strides=stride,
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    z_shape = jax.ShapeDtypeStruct((b, h * stride[0], w * stride[1], cout), jnp.float32)
+    (adj,) = jax.linear_transpose(fwd, z_shape)(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(adj), atol=1e-4)
+
+
+def test_conv3d_transpose_shape_and_adjoint(rng):
+    b, d, cin, cout, s = 1, 4, 2, 3, 2
+    x = jnp.asarray(rng.standard_normal((b, d, d, d, cin)).astype(np.float32))
+    m = Module(rng=jax.random.PRNGKey(2))
+    y = layers.conv3d_transpose(m, x, cout, (4, 4, 4), (s, s, s), scope="d", use_bias=False)
+    assert y.shape == (b, d * s, d * s, d * s, cout)
+    wgt = m.params["d/weights"]
+
+    def fwd(z):
+        return jax.lax.conv_general_dilated(
+            z, wgt, window_strides=(s, s, s), padding="SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
+    z_shape = jax.ShapeDtypeStruct((b, d * s, d * s, d * s, cout), jnp.float32)
+    (adj,) = jax.linear_transpose(fwd, z_shape)(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(adj), atol=1e-4)
+
+
+def test_prelu_and_param_reuse(rng):
+    x = jnp.asarray(rng.standard_normal((2, 5, 4)).astype(np.float32))
+    m = Module(rng=jax.random.PRNGKey(0))
+    y = layers.prelu(m, x)
+    # alpha starts at zero -> plain relu
+    np.testing.assert_allclose(np.asarray(y), np.maximum(np.asarray(x), 0))
+    # apply mode with modified alpha
+    params = dict(m.params)
+    params["alpha"] = jnp.full((4,), 0.25)
+    y2 = layers.prelu(Module(params=params), x)
+    xn = np.asarray(x)
+    np.testing.assert_allclose(
+        np.asarray(y2), np.maximum(xn, 0) + 0.25 * np.minimum(xn, 0), atol=1e-6
+    )
+
+
+def test_res_block_and_projection_shapes(rng):
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 4, 8)).astype(np.float32))
+    m = Module(rng=jax.random.PRNGKey(0))
+    y = layers.res_block_3d(m, x, 8, scope="res1_1")
+    assert y.shape == x.shape
+    p = layers.projection_unit(m, y)
+    assert p.shape == (1, 6, 6, 32)
+    assert "res1_1/con1_3X3/weights" in m.params
+    assert "res1_1/conv2_3x3/weights" in m.params
+    assert "projection_unit/Conv/weights" in m.params
+    assert "projection_unit/alpha" in m.params
+
+
+def test_dropout_modes(rng):
+    x = jnp.ones((4, 100))
+    m_eval = Module(params={"_": jnp.zeros(())}, train=False)
+    np.testing.assert_array_equal(np.asarray(layers.dropout(m_eval, x, 0.5)), np.asarray(x))
+    m_train = Module(
+        params={"_": jnp.zeros(())}, train=True, dropout_rng=jax.random.PRNGKey(0)
+    )
+    y = np.asarray(layers.dropout(m_train, x, 0.5))
+    assert set(np.unique(y)).issubset({0.0, 2.0})
+    assert 0.3 < (y == 0).mean() < 0.7
+
+
+def test_fully_connected(rng):
+    x = jnp.asarray(rng.standard_normal((3, 7)).astype(np.float32))
+    m = Module(rng=jax.random.PRNGKey(0))
+    y = layers.fully_connected(m, x, 11, scope="fc")
+    w = np.asarray(m.params["fc/weights"])
+    b = np.asarray(m.params["fc/biases"])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ w + b, atol=1e-5)
