@@ -9,3 +9,89 @@ and multi-chip data parallelism over a jax.sharding Mesh.
 """
 
 __version__ = "0.1.0"
+
+from rendernet_tpu.io import binvox
+from rendernet_tpu.io.binvox import (
+    Voxels,
+    load_binvox,
+    read_as_3d_array,
+    read_as_coord_array,
+    save_binvox,
+)
+from rendernet_tpu.io.tar_archive import NpyTarReader, NpyTarWriter
+from rendernet_tpu.nn import init, layers
+from rendernet_tpu.nn.layers import (
+    Module,
+    Params,
+    conv2d,
+    conv2d_transpose,
+    conv3d,
+    conv3d_transpose,
+    dropout,
+    fully_connected,
+    lrelu,
+    prelu,
+    projection_unit,
+    res_block_2d,
+    res_block_3d,
+)
+from rendernet_tpu.ops import crops, phong, resample, transforms
+from rendernet_tpu.ops.resample import (
+    affine_resample,
+    rotate_resample,
+    rotate_resample_to_camera,
+    trilinear_gather,
+)
+from rendernet_tpu.ops.transforms import (
+    grid_to_grid_matrix,
+    image_to_voxel_axes,
+    pose_matrix,
+    silhouette,
+    voxel_to_image_axes,
+)
+from rendernet_tpu import models
+from rendernet_tpu.utils.image import decode_image, encode_png, save_image, to_uint8
+
+__all__ = [
+    "binvox",
+    "Voxels",
+    "load_binvox",
+    "read_as_3d_array",
+    "read_as_coord_array",
+    "save_binvox",
+    "NpyTarReader",
+    "NpyTarWriter",
+    "init",
+    "layers",
+    "Module",
+    "Params",
+    "conv2d",
+    "conv2d_transpose",
+    "conv3d",
+    "conv3d_transpose",
+    "dropout",
+    "fully_connected",
+    "lrelu",
+    "prelu",
+    "projection_unit",
+    "res_block_2d",
+    "res_block_3d",
+    "crops",
+    "phong",
+    "resample",
+    "transforms",
+    "affine_resample",
+    "rotate_resample",
+    "rotate_resample_to_camera",
+    "trilinear_gather",
+    "grid_to_grid_matrix",
+    "image_to_voxel_axes",
+    "pose_matrix",
+    "silhouette",
+    "voxel_to_image_axes",
+    "models",
+    "decode_image",
+    "encode_png",
+    "save_image",
+    "to_uint8",
+]

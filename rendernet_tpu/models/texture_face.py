@@ -1,0 +1,208 @@
+"""Texture/normal face workload: texture decoder + two-head RenderNet.
+
+Architecture-parity targets in RenderNet_Texture_Face_Normal.py:
+  * ``decoder_texture`` (:34-46): 199-d Basel-face beta -> FC ->
+    [B,32,32,32,4] -> deconv3d(4,s1) -> deconv3d(8,s2) -> conv3d(4,s1),
+    PReLU everywhere -> a 64^3 x 4 3D texture grid.
+  * two-head ``RenderNet`` (:48-147): a 16-channel encoder variant of the
+    shader net whose trunk ends at res3_skip, then two independent decoder
+    heads — "Image" (albedo RGB) and "Normal" — each
+    conv(128) -> deconv(64,s2)/(32,s2)/(16,s2) -> deconv(3,s1) + sigmoid.
+
+Both the shape voxel grid and the decoded texture grid are independently
+rotated+resampled and channel-concatenated before the network (:165-178).
+TPU-first design notes as in models/shader.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rendernet_tpu.nn.layers import (
+    Module,
+    Params,
+    conv2d,
+    conv2d_transpose,
+    conv3d,
+    conv3d_transpose,
+    dropout,
+    fully_connected,
+    prelu,
+    projection_unit,
+    res_block_2d,
+    res_block_3d,
+)
+from rendernet_tpu.ops.resample import rotate_resample_to_camera
+
+__all__ = [
+    "TextureFaceConfig",
+    "texture_decoder",
+    "texture_face_rendernet",
+    "texture_face_forward",
+    "init_texture_face_params",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class TextureFaceConfig:
+    """Static hyperparameters; defaults reproduce the reference exactly."""
+
+    texture_dim: int = 199
+    keep_prob: float = 1.0
+    enc_channels: Tuple[int, int, int] = (8, 16, 16)
+    res1_blocks: int = 10
+    res2_blocks: int = 10
+    res3_blocks: int = 5
+    base: int = 32
+    new_size: int = 128
+
+
+def texture_decoder(m: Module, z: jnp.ndarray) -> jnp.ndarray:
+    """199-d texture code -> [B, 64, 64, 64, 4] 3D texture grid."""
+    b = z.shape[0]
+    with m.scope("texture_encoder"):
+        with m.scope("e_tex_fc1"):
+            x = fully_connected(m, z, 32 * 32 * 32 * 4, scope="fully_connected")
+            x = prelu(m, x)
+            x = x.reshape(b, 32, 32, 32, 4)
+        with m.scope("e_tex_conv0"):
+            x = conv3d_transpose(
+                m, x, 4, (4, 4, 4), (1, 1, 1), scope="conv3d_transpose"
+            )
+            x = prelu(m, x)
+        with m.scope("e_tex_conv1"):
+            x = conv3d_transpose(
+                m, x, 8, (4, 4, 4), (2, 2, 2), scope="conv3d_transpose"
+            )
+            x = prelu(m, x)
+        with m.scope("e_tex_conv2"):
+            x = conv3d(m, x, 4, (4, 4, 4), (1, 1, 1), scope="conv3d")
+            x = prelu(m, x)
+    return x
+
+
+def _decoder_head(
+    m: Module, trunk: jnp.ndarray, head: str, suffix: str, cfg: TextureFaceConfig
+) -> jnp.ndarray:
+    """One output head ("Image" suffix "_1" / "Normal" suffix "_2")."""
+    b = cfg.base
+    kp = cfg.keep_prob
+    with m.scope(head):
+        with m.scope(f"e_conv6{suffix}"):
+            x = conv2d(m, trunk, b * 4, (4, 4), (1, 1), scope=f"e_conv6{suffix}")
+            x = dropout(m, prelu(m, x), kp)
+        with m.scope(f"e_conv7{suffix}"):
+            # NB the reference names the inner scope 'e_conv7_2' in BOTH heads
+            # (RenderNet_Texture_Face_Normal.py:118,135) — a latent quirk we
+            # reproduce for npz-key parity.
+            x = conv2d_transpose(m, x, b * 2, (4, 4), (2, 2), scope="e_conv7_2")
+            x = dropout(m, prelu(m, x), kp)
+        with m.scope(f"e_conv8{suffix}"):
+            x = conv2d_transpose(m, x, b, (4, 4), (2, 2), scope="conv2d_transpose" if suffix == "_1" else f"e_conv8{suffix}")
+            x = dropout(m, prelu(m, x), kp)
+        with m.scope(f"e_conv9{suffix}"):
+            x = conv2d_transpose(m, x, 16, (4, 4), (2, 2), scope="conv2d_transpose" if suffix == "_1" else f"e_conv9{suffix}")
+            x = dropout(m, prelu(m, x), kp)
+        with m.scope(f"e_conv10{suffix}"):
+            x = conv2d_transpose(m, x, 3, (4, 4), (1, 1), scope="conv2d_transpose" if suffix == "_1" else f"e_conv10{suffix}")
+    return jax.nn.sigmoid(x.astype(jnp.float32))
+
+
+def texture_face_rendernet(
+    m: Module, vox: jnp.ndarray, cfg: TextureFaceConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-head render: camera-aligned [B,H,W,D,5] grid -> (albedo, normal).
+
+    Trunk mirrors the shader net at 16 channels; heads are independent.
+    """
+    kp = cfg.keep_prob
+    c1, c2, c3 = cfg.enc_channels
+    with m.scope("encoder"):
+        with m.scope("e_conv1"):
+            x = conv3d(m, vox, c1, (5, 5, 5), (2, 2, 2), scope="e_conv1")
+            x = dropout(m, prelu(m, x), kp)
+        with m.scope("e_conv2"):
+            x = conv3d(m, x, c2, (3, 3, 3), (1, 1, 2), scope="e_conv2")
+            x = dropout(m, prelu(m, x), kp)
+        with m.scope("e_conv3"):
+            x = conv3d(m, x, c3, (3, 3, 3), (1, 1, 1), scope="e_conv3")
+            x = dropout(m, prelu(m, x), kp)
+
+        shortcut = x
+        for i in range(1, cfg.res1_blocks + 1):
+            x = res_block_3d(m, x, c3, scope=f"res1_{i}")
+        with m.scope("res1_skip"):
+            x = conv3d(m, x, c3, (3, 3, 3), (1, 1, 1), scope="con1_3X3")
+        x = (x.astype(jnp.float32) + shortcut.astype(jnp.float32)).astype(
+            m.compute_dtype
+        )
+
+        x = projection_unit(m, x)
+        nf = x.shape[-1]  # 512 for a 128-deep grid at 16 channels
+
+        shortcut = x
+        for i in range(1, cfg.res2_blocks + 1):
+            x = res_block_2d(m, x, nf, scope=f"res2_{i}")
+        with m.scope("res2_skip"):
+            x = conv2d(m, x, nf, (3, 3), (1, 1), scope="con1_3X3")
+        x = (x.astype(jnp.float32) + shortcut.astype(jnp.float32)).astype(
+            m.compute_dtype
+        )
+
+        b = cfg.base
+        with m.scope("e_conv5"):
+            x = conv2d(m, x, b * 8, (4, 4), (1, 1), scope="e_conv5")
+            x = dropout(m, prelu(m, x), kp)
+        shortcut = x
+        for i in range(1, cfg.res3_blocks + 1):
+            x = res_block_2d(m, x, b * 8, scope=f"res3_{i}")
+        with m.scope("res3_skip"):
+            x = conv2d(m, x, b * 8, (3, 3), (1, 1), scope="con1_3X3")
+        trunk = (x.astype(jnp.float32) + shortcut.astype(jnp.float32)).astype(
+            m.compute_dtype
+        )
+
+        albedo = _decoder_head(m, trunk, "Image", "_1", cfg)
+        normal = _decoder_head(m, trunk, "Normal", "_2", cfg)
+    return albedo, normal
+
+
+def texture_face_forward(
+    params: Params,
+    voxels: jnp.ndarray,
+    texture_code: jnp.ndarray,
+    view_params: jnp.ndarray,
+    cfg: TextureFaceConfig,
+    *,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full pipeline (RenderNet_Texture_Face_Normal.py:165-179): decode the
+    texture grid, independently rotate+resample shape and texture, concat on
+    channel, run the two-head network. Returns (albedo, normal)."""
+    m = Module(
+        params=params,
+        compute_dtype=compute_dtype,
+        train=train,
+        dropout_rng=dropout_rng,
+    )
+    tex_grid = texture_decoder(m, texture_code.astype(compute_dtype))
+    shape_cam = rotate_resample_to_camera(voxels, view_params, new_size=cfg.new_size)
+    tex_cam = rotate_resample_to_camera(
+        tex_grid.astype(jnp.float32), view_params, new_size=cfg.new_size
+    )
+    both = jnp.concatenate([shape_cam, tex_cam], axis=4).astype(compute_dtype)
+    return texture_face_rendernet(m, both, cfg)
+
+
+def init_texture_face_params(rng: jax.Array, cfg: TextureFaceConfig) -> Params:
+    m = Module(rng=rng)
+    tex = texture_decoder(m, jnp.zeros((1, cfg.texture_dim), jnp.float32))
+    del tex
+    dummy = jnp.zeros((1, 8, 8, cfg.new_size, 5), jnp.float32)
+    texture_face_rendernet(m, dummy, cfg)
+    return m.params

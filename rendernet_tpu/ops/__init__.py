@@ -1,4 +1,4 @@
-from rendernet_tpu.ops import phong, resample, transforms
+from rendernet_tpu.ops import crops, phong, resample, transforms
 from rendernet_tpu.ops.resample import (
     affine_resample,
     rotate_resample,
@@ -14,6 +14,7 @@ from rendernet_tpu.ops.transforms import (
 )
 
 __all__ = [
+    "crops",
     "phong",
     "resample",
     "transforms",
