@@ -102,8 +102,14 @@ class NpyTarReader:
             contents = zlib.decompress(contents)
             components.pop()
         ext = components[-1].lower()
+        # Strip only the trailing extension(s): pose fields like "r3.3"
+        # contain dots, so never split on the first dot (the reference strips
+        # a fixed-width suffix, tools/utils.py:91).
         stem = name.rsplit("/", 1)[-1]
-        stem = stem.split(".")[0]
+        if stem.lower().endswith(".z"):
+            stem = stem[:-2]
+        if stem.lower().endswith("." + ext):
+            stem = stem[: -(len(ext) + 1)]
 
         if ext == "npy":
             return np.load(io.BytesIO(contents)), stem

@@ -1,0 +1,61 @@
+"""Checkpoint / weight persistence.
+
+Three mechanisms, mirroring the reference's trio (SURVEY.md §5):
+  1. Orbax checkpoints of the full TrainState (params + opt state + step) —
+     the crash-resume path (reference: tf.train.Supervisor autosave).
+  2. Flat ``.npz`` parameter archives — the cross-model transfer format
+     (reference: per-layer ``*.txt.npz`` dicts, tools/model_util.py:26-39).
+     Both a single-file form and the reference's directory-of-files form are
+     supported (see rendernet_tpu.compat for TF-name translation).
+  3. (Deployment freeze has no TF-GraphDef analog; a jitted function + npz
+     weights is the export story.)
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "save_params_npz",
+    "load_params_npz",
+]
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, state: Any) -> None:
+    """Save a pytree (e.g. TrainState) to an Orbax checkpoint directory."""
+    path = os.path.abspath(path)
+    state = jax.tree.map(np.asarray, state)
+    _checkpointer().save(path, state, force=True)
+
+
+def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    """Restore a pytree; ``target`` (same structure) restores typed leaves."""
+    path = os.path.abspath(path)
+    if target is not None:
+        import orbax.checkpoint as ocp
+
+        return _checkpointer().restore(
+            path, restore_args=ocp.checkpoint_utils.construct_restore_args(target)
+        )
+    return _checkpointer().restore(path)
+
+
+def save_params_npz(path: str, params: Dict[str, Any]) -> None:
+    """Save a flat {path: array} param dict as one .npz archive."""
+    np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+
+
+def load_params_npz(path: str) -> Dict[str, np.ndarray]:
+    with np.load(path) as data:
+        return {k: data[k] for k in data.files}

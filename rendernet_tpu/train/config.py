@@ -1,0 +1,117 @@
+"""Typed training configuration, JSON-compatible with the reference configs.
+
+The reference reads a flat JSON dict at import time (RenderNet_Shader.py:19)
+with keys documented in README.md:42-155. ``TrainConfig.from_json`` accepts
+those exact files (config_RenderNet.json etc.) and layers typed defaults,
+validation, and TPU-specific knobs (compute dtype, mesh shape) on top.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional
+
+__all__ = ["TrainConfig"]
+
+
+def _as_bool(v) -> bool:
+    if isinstance(v, str):
+        return v.lower() == "true"
+    return bool(v)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # --- data ---
+    image_path: str = ""
+    image_path_valid: str = ""
+    model_path: str = ""
+    normal_path: str = ""  # face workload only
+    texture_path: str = ""  # face workload only
+    is_greyscale: bool = True
+    img_res: int = 512
+    voxel_res: int = 64
+
+    # --- schedule ---
+    batch_size: int = 1
+    batches_chunk: int = 1
+    max_epochs: int = 1000
+    e_eta: float = 1e-5
+    decay_steps: int = 100_000
+    decay_rate: float = 0.96
+    keep_prob: float = 1.0
+    threshold: float = 0.1
+    curriculum_epochs: int = 5  # patch 32 before, 64 after (Shader.py:204-207)
+
+    # --- run management ---
+    sample_save: str = "./runs/shader"
+    trained_model_name: str = "3d2d_renderer"
+    checkpoint_secs: int = 7200
+    sample_every_steps: int = 600
+    gpu: int = 0  # accepted for config compatibility; unused on TPU
+
+    # --- TPU-native knobs (no reference counterpart) ---
+    compute_dtype: str = "bfloat16"
+    data_parallel: Optional[int] = None  # None = all local devices
+    new_size: int = 128
+    seed: int = 0
+
+    # --- reconstruction workload keys (config_reconstruction_RenderNet.json) ---
+    z_dim: int = 200
+    inner_step: int = 200
+    shape_eta: float = 0.8
+    pose_eta: float = 0.01
+    tex_eta: float = 0.8
+    light_eta: float = 0.4
+    weight_dir: str = ""
+    weight_dir_decoder: str = ""
+    target_albedo: str = ""
+    target_normal: str = ""
+    target_azimuth_light: float = 294.0
+    target_elevation_light: float = 105.0
+
+    @classmethod
+    def from_json(cls, path: str, **overrides) -> "TrainConfig":
+        with open(path) as f:
+            raw: Dict[str, Any] = json.load(f)
+        return cls.from_dict(raw, **overrides)
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any], **overrides) -> "TrainConfig":
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs: Dict[str, Any] = {}
+        for key, value in {**raw, **overrides}.items():
+            if key not in fields:
+                continue  # tolerate unknown keys like the reference does
+            if fields[key].type in ("bool", bool):
+                value = _as_bool(value)
+            kwargs[key] = value
+        cfg = cls(**kwargs)
+        cfg.validate()
+        return cfg
+
+    def validate(self) -> None:
+        if self.batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        if self.img_res % self.new_size != 0:
+            raise ValueError(
+                f"img_res ({self.img_res}) must be a multiple of the camera "
+                f"grid size ({self.new_size})"
+            )
+        if not 0.0 < self.keep_prob <= 1.0:
+            raise ValueError("keep_prob must be in (0, 1]")
+
+    def to_json(self, path: str) -> None:
+        """Snapshot the config into the run dir (provenance habit of
+        RenderNet_Shader.py:199)."""
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    @property
+    def image_channels(self) -> int:
+        return 1 if self.is_greyscale else 3
+
+    def patch_size_for_epoch(self, epoch: int) -> int:
+        """Patch curriculum: new_size//4 early, new_size//2 after
+        (RenderNet_Shader.py:204-207)."""
+        return self.new_size // 4 if epoch < self.curriculum_epochs else self.new_size // 2

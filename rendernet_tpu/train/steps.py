@@ -1,0 +1,180 @@
+"""Jitted train/eval steps for the shader and texture workloads.
+
+Loss semantics mirror the reference graphs:
+  * shader greyscale: summed-per-image BCE, mean over batch
+    (RenderNet_Shader.py:160-161, with the 1e-6 log guards);
+  * shader RGB: mean squared error (:163);
+  * texture/face: MSE(albedo) + MSE(normal)
+    (RenderNet_Texture_Face_Normal.py:182-183).
+
+TPU design: one pure step function per (patch size, mode) — shapes static,
+state donated, params fp32 with a configurable compute dtype (bf16 on the
+MXU), the rotate+resample and random crop fused into the same XLA program as
+the network so each step is a single device launch.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rendernet_tpu.models.shader import ShaderConfig, shader_rendernet
+from rendernet_tpu.models.texture_face import (
+    TextureFaceConfig,
+    texture_decoder,
+    texture_face_rendernet,
+)
+from rendernet_tpu.nn.layers import Module, Params
+from rendernet_tpu.ops.crops import (
+    random_crop_voxel_image,
+    random_crop_voxel_texture_image_normal,
+)
+from rendernet_tpu.ops.resample import rotate_resample_to_camera
+from rendernet_tpu.train.config import TrainConfig
+from rendernet_tpu.train.optim import make_optimizer
+
+__all__ = [
+    "TrainState",
+    "create_shader_state",
+    "make_shader_train_step",
+    "make_shader_eval_step",
+    "create_texture_state",
+    "make_texture_train_step",
+    "shader_loss_from_images",
+]
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: optax.OptState
+    step: jnp.ndarray  # scalar int32
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+def shader_loss_from_images(
+    pred: jnp.ndarray, target: jnp.ndarray, greyscale: bool
+) -> jnp.ndarray:
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    if greyscale:
+        bce = target * jnp.log(1e-6 + pred) + (1.0 - target) * jnp.log(
+            1e-6 + 1.0 - pred
+        )
+        return jnp.mean(-jnp.sum(bce, axis=(1, 2, 3)))
+    return jnp.mean((pred - target) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# shader workload
+# ---------------------------------------------------------------------------
+def create_shader_state(
+    rng: jax.Array, model_cfg: ShaderConfig, cfg: TrainConfig
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    from rendernet_tpu.models.shader import init_shader_params
+
+    params = init_shader_params(rng, model_cfg)
+    tx = make_optimizer(cfg.e_eta, cfg.decay_steps, cfg.decay_rate)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+def make_shader_train_step(
+    model_cfg: ShaderConfig,
+    cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    patch_size: int,
+):
+    """Build the jitted training step for one patch size.
+
+    step(state, voxels[B,64,64,64,1], images[B,512,512,C] in [0,1],
+         poses[B,3], rng) -> (state, loss)
+    """
+    cdt = _dtype(cfg.compute_dtype)
+    greyscale = cfg.is_greyscale
+
+    def loss_fn(params, voxels, images, poses, rng):
+        crop_rng, drop_rng = jax.random.split(rng)
+        cam = rotate_resample_to_camera(voxels, poses, new_size=cfg.new_size)
+        vox_c, img_c = random_crop_voxel_image(crop_rng, cam, images, patch_size)
+        m = Module(params=params, compute_dtype=cdt, train=True, dropout_rng=drop_rng)
+        pred = shader_rendernet(m, vox_c.astype(cdt), model_cfg)
+        return shader_loss_from_images(pred, img_c, greyscale)
+
+    def step(state: TrainState, voxels, images, poses, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, voxels, images, poses, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_shader_eval_step(model_cfg: ShaderConfig, cfg: TrainConfig):
+    """Full-resolution inference step: (params, voxels, poses) -> images."""
+    cdt = _dtype(cfg.compute_dtype)
+
+    def step(params, voxels, poses):
+        cam = rotate_resample_to_camera(voxels, poses, new_size=cfg.new_size)
+        m = Module(params=params, compute_dtype=cdt)
+        return shader_rendernet(m, cam.astype(cdt), model_cfg)
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# texture / face workload
+# ---------------------------------------------------------------------------
+def create_texture_state(
+    rng: jax.Array, model_cfg: TextureFaceConfig, cfg: TrainConfig
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    from rendernet_tpu.models.texture_face import init_texture_face_params
+
+    params = init_texture_face_params(rng, model_cfg)
+    tx = make_optimizer(cfg.e_eta, cfg.decay_steps, cfg.decay_rate)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+def make_texture_train_step(
+    model_cfg: TextureFaceConfig,
+    cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    patch_size: int,
+):
+    """step(state, voxels, images, normals, textures, poses, rng)
+    -> (state, loss). Images/normals in [0,1]."""
+    cdt = _dtype(cfg.compute_dtype)
+
+    def loss_fn(params, voxels, images, normals, textures, poses, rng):
+        crop_rng, drop_rng = jax.random.split(rng)
+        m = Module(params=params, compute_dtype=cdt, train=True, dropout_rng=drop_rng)
+        tex_grid = texture_decoder(m, textures.astype(cdt))
+        shape_cam = rotate_resample_to_camera(voxels, poses, new_size=cfg.new_size)
+        tex_cam = rotate_resample_to_camera(
+            tex_grid.astype(jnp.float32), poses, new_size=cfg.new_size
+        )
+        vox_c, tex_c, img_c, nrm_c = random_crop_voxel_texture_image_normal(
+            crop_rng, shape_cam, tex_cam, images, normals, patch_size
+        )
+        both = jnp.concatenate([vox_c, tex_c], axis=4).astype(cdt)
+        albedo, normal_pred = texture_face_rendernet(m, both, model_cfg)
+        return shader_loss_from_images(
+            albedo, img_c, greyscale=False
+        ) + shader_loss_from_images(normal_pred, nrm_c, greyscale=False)
+
+    def step(state: TrainState, voxels, images, normals, textures, poses, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, voxels, images, normals, textures, poses, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return jax.jit(step, donate_argnums=(0,))
