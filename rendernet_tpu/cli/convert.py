@@ -1,0 +1,97 @@
+"""Weight/checkpoint conversion CLI (demo/RenderNet_converter.py analog).
+
+Subcommands:
+  ckpt-to-npz   — Orbax TrainState checkpoint -> single .npz params archive
+                  (the deployment freeze: a jitted fn + this npz is the
+                  export story, replacing the TF frozen GraphDef).
+  npz-to-refdir — our .npz archive -> reference-format *.txt.npz directory.
+  refdir-to-npz — reference weight dir -> our .npz archive (requires the
+                  matching --model to derive param paths).
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c1 = sub.add_parser("ckpt-to-npz")
+    c1.add_argument("checkpoint", type=str)
+    c1.add_argument("out", type=str)
+
+    c2 = sub.add_parser("npz-to-refdir")
+    c2.add_argument("npz", type=str)
+    c2.add_argument("out_dir", type=str)
+
+    c3 = sub.add_parser("refdir-to-npz")
+    c3.add_argument("weight_dir", type=str)
+    c3.add_argument("out", type=str)
+    c3.add_argument("--model", type=str, default="shader",
+                    choices=["shader", "texture", "recon-renderer",
+                             "shape-decoder", "recon-texture"])
+    return p
+
+
+def _template(model: str):
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    if model == "shader":
+        from rendernet_tpu.models.shader import ShaderConfig, init_shader_params
+
+        return init_shader_params(key, ShaderConfig())
+    if model == "texture":
+        from rendernet_tpu.models.texture_face import (
+            TextureFaceConfig,
+            init_texture_face_params,
+        )
+
+        return init_texture_face_params(key, TextureFaceConfig())
+    if model == "recon-renderer":
+        from rendernet_tpu.models.decoders import init_recon_rendernet_params
+
+        return init_recon_rendernet_params(key)
+    if model == "shape-decoder":
+        from rendernet_tpu.models.decoders import init_shape_decoder_params
+
+        return init_shape_decoder_params(key)
+    from rendernet_tpu.models.decoders import init_recon_texture_decoder_params
+
+    return init_recon_texture_decoder_params(key)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from rendernet_tpu.compat import (
+        export_reference_weight_dir,
+        load_reference_weight_dir,
+        params_from_weight_dict,
+    )
+    from rendernet_tpu.train.checkpoint import (
+        load_params_npz,
+        restore_checkpoint,
+        save_params_npz,
+    )
+
+    if args.cmd == "ckpt-to-npz":
+        state = restore_checkpoint(args.checkpoint)
+        params = state["params"] if isinstance(state, dict) and "params" in state else state[0]
+        save_params_npz(args.out, params)
+        print(f"wrote {len(params)} params to {args.out}")
+    elif args.cmd == "npz-to-refdir":
+        params = load_params_npz(args.npz)
+        export_reference_weight_dir(params, args.out_dir)
+        print(f"wrote {len(params)} weight files to {args.out_dir}")
+    else:
+        template = _template(args.model)
+        wd = load_reference_weight_dir(args.weight_dir)
+        params = params_from_weight_dict(template, wd, strict=False)
+        save_params_npz(args.out, params)
+        print(f"wrote {len(params)} params to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

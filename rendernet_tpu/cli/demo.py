@@ -1,0 +1,116 @@
+"""Phong-shading inference demo CLI.
+
+Capability-parity target: ``RenderNet_demo.py`` — load a pretrained shader
+net, read a 64^3 binvox, render a normal map for a (azimuth, elevation,
+radius) pose, Phong-composite with CLI-controlled lighting on the host, save
+PNG; ``--rotate`` sweeps azimuth 0..360 step 5.
+
+Weights come from either a single ``.npz`` of our param paths or a
+reference-format directory of ``*.txt.npz`` files (``--weights``). Without
+weights, a seeded random network runs (pipeline smoke mode).
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+import numpy as np
+
+AMBIENT_IN = 0.1
+K_DIFFUSE = 0.9
+LIGHT_COL = np.array([[1.0, 1.0, 1.0]])
+
+
+def compute_pose_param(azimuth, elevation, radius):
+    """Degrees/radius -> (azimuth_rad, theta_rad, scale) (RenderNet_demo.py:33)."""
+    phi = azimuth * math.pi / 180.0
+    theta = (90 - elevation) * math.pi / 180.0
+    return np.array([[phi, theta, 3.3 / radius]], np.float32)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    p.add_argument("--voxel_path", type=str, default="/root/reference/binvox/chair.binvox")
+    p.add_argument("--azimuth", type=float, default=250)
+    p.add_argument("--elevation", type=float, default=60)
+    p.add_argument("--light_azimuth", type=float, default=250)
+    p.add_argument("--light_elevation", type=float, default=60)
+    p.add_argument("--radius", type=float, default=3.3)
+    p.add_argument("--render_dir", type=str, default="./render")
+    p.add_argument("--rotate", action="store_true",
+                   help="render a full 360-degree azimuth sweep (step 5)")
+    p.add_argument("--weights", type=str, default="",
+                   help=".npz params file or reference *.txt.npz weight dir")
+    p.add_argument("--out_channels", type=int, default=3,
+                   help="shader head channels (3 = normal-map demo net)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from rendernet_tpu.io import binvox as binvox_rw
+    from rendernet_tpu.models.shader import ShaderConfig, init_shader_params, shader_forward
+    from rendernet_tpu.ops.phong import np_generate_light_pos, np_phong_composite
+    from rendernet_tpu.utils.image import save_image, to_uint8
+
+    cfg = ShaderConfig(out_channels=args.out_channels)
+    if args.weights:
+        from rendernet_tpu.compat import load_reference_weight_dir, params_from_weight_dict
+        from rendernet_tpu.train.checkpoint import load_params_npz
+
+        template = init_shader_params(jax.random.PRNGKey(0), cfg)
+        if os.path.isdir(args.weights):
+            params = params_from_weight_dict(
+                template, load_reference_weight_dir(args.weights), strict=False
+            )
+        else:
+            params = load_params_npz(args.weights)
+    else:
+        print("NOTE: no --weights given; rendering with a seeded random net")
+        params = init_shader_params(jax.random.PRNGKey(0), cfg)
+
+    os.makedirs(args.render_dir, exist_ok=True)
+    with open(args.voxel_path, "rb") as f:
+        voxel = np.reshape(
+            binvox_rw.read_as_3d_array(f).data.astype(np.float32), (1, 64, 64, 64, 1)
+        )
+    model_name = os.path.basename(args.voxel_path).split(".binvox")[0]
+    light_dir = np_generate_light_pos(args.light_elevation, args.light_azimuth)
+
+    render_fn = jax.jit(
+        lambda p, v, q: shader_forward(p, v, q, cfg), static_argnums=()
+    )
+
+    def render_one(azimuth, count):
+        pose = jnp.asarray(compute_pose_param(azimuth, args.elevation, args.radius))
+        normal_map = np.asarray(render_fn(params, jnp.asarray(voxel), pose))
+        if normal_map.shape[-1] == 1:
+            img = normal_map[0, :, :, 0]
+        else:
+            img = np_phong_composite(
+                normal_map, light_dir, LIGHT_COL, AMBIENT_IN, K_DIFFUSE
+            )[0]
+        name = (
+            f"{count:03d}_{model_name}_pose_{azimuth:f}_{args.elevation:f}_"
+            f"{args.radius:f}_light_{args.light_azimuth:f}_{args.light_elevation:f}.png"
+        )
+        path = os.path.join(args.render_dir, name)
+        save_image(to_uint8(img, 255.0), path)
+        print(path)
+
+    if args.rotate:
+        for count, azimuth in enumerate(np.arange(0.0, 360.0, 5.0)):
+            render_one(float(azimuth), count)
+    else:
+        render_one(args.azimuth, 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Inverse-rendering CLI (Reconstruct_RenderNet_Face.py parity).
+
+Reads the reconstruction JSON config, loads the three pretrained weight
+sets (reference *.txt.npz dirs via --compat, or our .npz archives), builds
+the shaded target from GT albedo+normal with host-side Phong, and runs the
+coarse-to-fine latent optimization, dumping per-epoch results.
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("config", type=str, help="reconstruction JSON config")
+    p.add_argument("--random-weights", action="store_true",
+                   help="use seeded random nets (pipeline smoke mode)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from rendernet_tpu.compat import load_reference_weight_dir, params_from_weight_dict
+    from rendernet_tpu.io import binvox as binvox_rw
+    from rendernet_tpu.models.decoders import (
+        init_recon_rendernet_params,
+        init_recon_texture_decoder_params,
+        init_shape_decoder_params,
+    )
+    from rendernet_tpu.ops.phong import np_phong_composite
+    from rendernet_tpu.recon import ReconConfig, ReconModel, recon_forward, reconstruct
+    from rendernet_tpu.train.config import TrainConfig
+    from rendernet_tpu.utils.image import decode_image, save_image, to_uint8
+
+    cfg = TrainConfig.from_json(args.config)
+    rcfg = ReconConfig(
+        z_dim=cfg.z_dim,
+        batch_size=cfg.batch_size,
+        inner_steps=cfg.inner_step,
+        max_epochs=cfg.max_epochs,
+        shape_eta=cfg.shape_eta,
+        pose_eta=cfg.pose_eta,
+        tex_eta=cfg.tex_eta,
+        light_eta=cfg.light_eta,
+        light_elevation=(90 - cfg.target_elevation_light) * math.pi / 180.0,
+    )
+    os.makedirs(cfg.sample_save, exist_ok=True)
+
+    templates = ReconModel(
+        decoder=init_shape_decoder_params(jax.random.PRNGKey(0), z_dim=rcfg.z_dim),
+        texture=init_recon_texture_decoder_params(jax.random.PRNGKey(1)),
+        renderer=init_recon_rendernet_params(jax.random.PRNGKey(2)),
+    )
+    if args.random_weights:
+        model = templates
+    else:
+        wd_render = load_reference_weight_dir(cfg.weight_dir)
+        wd_decoder = load_reference_weight_dir(cfg.weight_dir_decoder)
+        model = ReconModel(
+            decoder=params_from_weight_dict(templates.decoder, wd_decoder, strict=False),
+            texture=params_from_weight_dict(templates.texture, wd_render, strict=False),
+            renderer=params_from_weight_dict(templates.renderer, wd_render, strict=False),
+        )
+
+    # --- shaded target from GT albedo + normal (host-side Phong; :435-447) ---
+    with open(cfg.target_albedo, "rb") as f:
+        target = decode_image(f.read())[:, :, :3].reshape(1, 512, 512, 3) / 255.0
+    with open(cfg.target_normal, "rb") as f:
+        target_normal = decode_image(f.read())[:, :, :3].reshape(1, 512, 512, 3) / 255.0
+
+    elevation_gt = (90 - cfg.target_elevation_light) * math.pi / 180.0
+    azimuth_gt = cfg.target_azimuth_light * math.pi / 180.0
+    light_dir = np.array(
+        [[
+            np.sin(elevation_gt) * np.cos(azimuth_gt),
+            np.sin(elevation_gt) * np.sin(azimuth_gt),
+            np.cos(elevation_gt),
+        ]]
+    )
+    light_col = np.array([[1.0, 1.0, 1.0]])
+    shading = np_phong_composite(
+        target_normal, light_dir, light_col, 0.0, 1.0,
+        background_col="white", with_mask=True,
+    )
+    target_compos = target * shading
+    save_image(to_uint8(target_compos[0], 255.0),
+               os.path.join(cfg.sample_save, "shaded_target.png"))
+    target_batch = jnp.asarray(
+        np.tile(target_compos, (rcfg.batch_size, 1, 1, 1)), jnp.float32
+    )
+
+    def dump(epoch, latents, losses):
+        best = int(losses.argmin())
+        compos, albedo, normal, shape = recon_forward(model, latents, rcfg)
+        pose_deg = np.asarray(latents.pose[best]) * 180.0 / math.pi
+        tag = (f"epoch{epoch}_p{pose_deg[0]:.1f}_t{90 - pose_deg[1]:.1f}"
+               f"_loss{losses[best]:.5f}")
+        save_image(to_uint8(np.asarray(compos[best]), 255.0),
+                   os.path.join(cfg.sample_save, tag + ".png"))
+        binvox_rw.save_binvox(
+            np.asarray(shape[best]).reshape(64, 64, 64) > cfg.threshold,
+            os.path.join(cfg.sample_save, tag + ".binvox"),
+        )
+        print(f"epoch {epoch}: best hypothesis {best} loss {losses[best]:.5f}")
+
+    latents, history = reconstruct(model, target_batch, rcfg, callback=dump)
+    np.savez(os.path.join(cfg.sample_save, "loss_history.npz"), history)
+    print("Reconstruction done")
+
+
+if __name__ == "__main__":
+    main()

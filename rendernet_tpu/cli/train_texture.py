@@ -1,0 +1,31 @@
+"""Texture/normal face trainer CLI (RenderNet_Texture_Face_Normal.py parity)."""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("config", type=str, help="path to a JSON training config")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--no-mesh", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from rendernet_tpu.train.config import TrainConfig
+    from rendernet_tpu.train.loop import train_texture
+
+    cfg = TrainConfig.from_json(args.config)
+    train_texture(
+        cfg,
+        max_steps=args.max_steps,
+        use_mesh=not args.no_mesh,
+        progress=lambda step, loss: print(f"Step {step} Loss {loss}"),
+    )
+
+
+if __name__ == "__main__":
+    main()

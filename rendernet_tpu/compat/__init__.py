@@ -1,0 +1,16 @@
+"""Compatibility shims: reference npz weight dictionaries <-> param pytrees."""
+from rendernet_tpu.compat.tf_import import (
+    load_reference_weight_dir,
+    npz_key_for_path,
+    params_from_weight_dict,
+    weight_dict_from_params,
+    export_reference_weight_dir,
+)
+
+__all__ = [
+    "load_reference_weight_dir",
+    "npz_key_for_path",
+    "params_from_weight_dict",
+    "weight_dict_from_params",
+    "export_reference_weight_dir",
+]

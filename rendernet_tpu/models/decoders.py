@@ -72,7 +72,11 @@ def recon_texture_decoder(m: Module, z: jnp.ndarray) -> jnp.ndarray:
     b = z.shape[0]
     with m.scope("texture_encoder"):
         with m.scope("e_tex_dc1"):
-            x = fully_connected(m, z, 4 * 4 * 4 * 512, scope="g_gc1")
+            # NB the reference passes 4*4*4*512 here (:89) but that literal is
+            # dead: tf.get_variable ignores the shape when a pretrained
+            # initializer array is given, and the reshape below (:93) fixes
+            # the true output at 32*32*32*4.
+            x = fully_connected(m, z, 32 * 32 * 32 * 4, scope="g_gc1")
             x = prelu(m, x)
             x = x.reshape(b, 32, 32, 32, 4)
         with m.scope("e_tex_conv0"):

@@ -147,13 +147,15 @@ def _conv(
             tuple(kernel_size) + (x.shape[-1], out_channels),
             weight_init,
         )
+        # No preferred_element_type: its autodiff transpose rule mixes bf16
+        # cotangents with fp32 operands in current JAX. XLA:TPU accumulates
+        # bf16 convolutions in fp32 inside the MXU regardless.
         y = lax.conv_general_dilated(
             x,
             w,
             window_strides=tuple(stride),
             padding="SAME",
             dimension_numbers=_DIMNUMS[ndim],
-            preferred_element_type=jnp.float32,
         )
         if use_bias:
             b = m.param("biases", (out_channels,), initializers.constant(0.001))
@@ -215,7 +217,6 @@ def _conv_transpose(
             padding="SAME",
             dimension_numbers=_DIMNUMS[ndim],
             transpose_kernel=True,
-            preferred_element_type=jnp.float32,
         )
         if use_bias:
             b = m.param("biases", (out_channels,), initializers.constant(0.001))
@@ -263,7 +264,7 @@ def fully_connected(
 ) -> jnp.ndarray:
     with m.scope(scope):
         w = m.param("weights", (x.shape[-1], out_size), weight_init)
-        y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+        y = jnp.matmul(x, w)
         if use_bias:
             b = m.param("biases", (out_size,), initializers.constant(0.001))
             y = y + b

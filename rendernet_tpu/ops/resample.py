@@ -40,6 +40,7 @@ __all__ = [
     "affine_resample",
     "rotate_resample",
     "rotate_resample_to_camera",
+    "rotate_resample_camera_patch",
 ]
 
 
@@ -184,3 +185,46 @@ def rotate_resample_to_camera(
     workload before the conv encoder.
     """
     return voxel_to_image_axes(rotate_resample(voxels, view_params, size, new_size))
+
+
+def rotate_resample_camera_patch(
+    voxels: jnp.ndarray,
+    view_params: jnp.ndarray,
+    offsets: jnp.ndarray,
+    patch_size: int,
+    size: int | None = None,
+    new_size: int = 128,
+) -> jnp.ndarray:
+    """Crop-fused resample: bit-identical to
+    ``rotate_resample_to_camera(...)[:, u0:u0+P, v0:v0+P]`` but only computes
+    the cropped window's gathers — a TPU-first optimization with no reference
+    counterpart (the reference resamples the full 128^3 grid and then crops,
+    RenderNet_Shader.py:150-154). Cuts the training resample cost by
+    ``(new_size/patch_size)^2``.
+
+    ``offsets``: traced int32 ``[2]`` = (u0, v0) crop starts in the
+    image-aligned (row, col) axes. Depth is never cropped.
+    """
+    if size is None:
+        size = voxels.shape[1]
+    matrix = grid_to_grid_matrix(view_params, size=size, new_size=new_size)
+    # Image-aligned grid G[b, u, v, d] equals the raw resample out[b, i, j, k]
+    # at (i = v, j = new_size-1-u, k = d) (see voxel_to_image_axes). Generate
+    # destination points for the window directly in G's index order.
+    p = patch_size
+    u = offsets[0] + jnp.arange(p, dtype=jnp.int32)
+    v = offsets[1] + jnp.arange(p, dtype=jnp.int32)
+    xk = jnp.arange(new_size, dtype=jnp.float32)[None, None, None, :]
+    yj = (jnp.float32(new_size - 1) - u.astype(jnp.float32))[None, :, None, None]
+    zi = v.astype(jnp.float32)[None, None, :, None]
+
+    def row(r: int) -> jnp.ndarray:
+        m = matrix[:, r, :]
+        return (
+            m[:, 0, None, None, None] * xk
+            + m[:, 1, None, None, None] * yj
+            + m[:, 2, None, None, None] * zi
+            + m[:, 3, None, None, None]
+        )
+
+    return trilinear_gather(voxels, row(0), row(1), row(2))

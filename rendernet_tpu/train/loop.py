@@ -1,0 +1,238 @@
+"""Epoch-level training drivers (shader + texture workloads).
+
+Capability-parity target: the runtime loops of RenderNet_Shader.py:179-306
+and RenderNet_Texture_Face_Normal.py:200-335 — patch curriculum, chunked
+data streaming, periodic sample dumps, per-epoch validation with mean-L1
+logging, config snapshot into the run dir, and checkpoint autosave.
+
+TPU re-design: steps are jit-compiled per patch size (two specializations
+over the curriculum); batches are sharded over the data mesh; metrics are
+accumulated on host from device scalars; checkpoints are Orbax.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rendernet_tpu.data.loaders import data_loader, data_loader_image_texture_normal_face
+from rendernet_tpu.models.shader import ShaderConfig
+from rendernet_tpu.models.texture_face import TextureFaceConfig
+from rendernet_tpu.train.checkpoint import save_checkpoint, save_params_npz
+from rendernet_tpu.train.config import TrainConfig
+from rendernet_tpu.train.distributed import make_mesh, replicate, shard_batch
+from rendernet_tpu.train.steps import (
+    create_shader_state,
+    create_texture_state,
+    make_shader_eval_step,
+    make_shader_train_step,
+    make_texture_train_step,
+)
+from rendernet_tpu.utils.image import save_image, to_uint8
+
+__all__ = ["train_shader", "train_texture"]
+
+
+def _auto_mesh(cfg: TrainConfig):
+    """Data mesh over the largest device count that divides the batch."""
+    n_data = cfg.data_parallel or len(jax.devices())
+    while cfg.batch_size % n_data:
+        n_data -= 1
+    return make_mesh(n_data)
+
+
+class _RunDir:
+    def __init__(self, cfg: TrainConfig):
+        self.root = cfg.sample_save
+        os.makedirs(self.root, exist_ok=True)
+        cfg.to_json(os.path.join(self.root, "config.json"))
+        self.metrics_path = os.path.join(self.root, "metrics.jsonl")
+
+    def log(self, **kv):
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(kv) + "\n")
+
+    def dump_pair(self, tag: str, step: int, pred: np.ndarray, target: np.ndarray):
+        save_image(
+            to_uint8(np.squeeze(pred), 255.0),
+            os.path.join(self.root, f"{tag}_{step}_pred.png"),
+        )
+        save_image(
+            to_uint8(np.squeeze(target), 255.0),
+            os.path.join(self.root, f"{tag}_{step}_target.png"),
+        )
+
+
+def train_shader(
+    cfg: TrainConfig,
+    model_cfg: Optional[ShaderConfig] = None,
+    max_steps: Optional[int] = None,
+    use_mesh: bool = True,
+    progress: Optional[Callable[[int, float], None]] = None,
+):
+    """Run shader training from a TrainConfig; returns the final TrainState."""
+    model_cfg = model_cfg or ShaderConfig(
+        out_channels=cfg.image_channels,
+        keep_prob=cfg.keep_prob,
+        new_size=cfg.new_size,
+    )
+    run = _RunDir(cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    state, tx = create_shader_state(rng, model_cfg, cfg)
+    mesh = _auto_mesh(cfg) if use_mesh else None
+    if mesh is not None:
+        state = replicate(mesh, state)
+    steps = {}  # patch_size -> jitted step
+    eval_step = make_shader_eval_step(model_cfg, cfg)
+    step_key = jax.random.PRNGKey(cfg.seed + 1)
+    global_step = int(state.step)
+    last_ckpt = time.time()
+    ckpt_dir = os.path.join(run.root, cfg.trained_model_name)
+
+    for epoch in range(cfg.max_epochs):
+        patch = cfg.patch_size_for_epoch(epoch)
+        if patch not in steps:
+            steps[patch] = make_shader_train_step(model_cfg, cfg, tx, patch)
+        step_fn = steps[patch]
+        loader = data_loader(
+            cfg.image_path,
+            cfg.model_path,
+            batch_size=cfg.batch_size,
+            batches_chunk=cfg.batches_chunk,
+            flatten=cfg.is_greyscale,
+            img_res=cfg.img_res,
+            voxel_res=cfg.voxel_res,
+        )
+        for images, voxels, poses, names in loader:
+            images = images / 255.0
+            n_batches = len(images) // cfg.batch_size
+            for i in range(n_batches):
+                sl = slice(i * cfg.batch_size, (i + 1) * cfg.batch_size)
+                batch = (
+                    jnp.asarray(voxels[sl]),
+                    jnp.asarray(images[sl]),
+                    jnp.asarray(poses[sl]),
+                )
+                if mesh is not None:
+                    batch = shard_batch(mesh, batch)
+                state, loss = step_fn(state, *batch, step_key)
+                global_step += 1
+                if progress is not None:
+                    progress(global_step, float(loss))
+                if global_step % cfg.sample_every_steps == 0:
+                    run.log(step=global_step, epoch=epoch, loss=float(loss))
+                    pred = eval_step(state.params, batch[0], batch[2])
+                    run.dump_pair(
+                        f"train_{names[i * cfg.batch_size]}",
+                        global_step,
+                        np.asarray(pred[0]),
+                        np.asarray(batch[1][0]),
+                    )
+                if time.time() - last_ckpt > cfg.checkpoint_secs:
+                    save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
+                    last_ckpt = time.time()
+                if max_steps is not None and global_step >= max_steps:
+                    save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
+                    return state
+
+        # ---- per-epoch validation (mean absolute error) ----
+        save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
+        if cfg.image_path_valid and os.path.exists(cfg.image_path_valid):
+            l1_sum, l1_n = 0.0, 0
+            valid = data_loader(
+                cfg.image_path_valid,
+                cfg.model_path,
+                batch_size=cfg.batch_size,
+                validation_mode=True,
+                flatten=cfg.is_greyscale,
+                img_res=cfg.img_res,
+                voxel_res=cfg.voxel_res,
+            )
+            for images, voxels, poses, names in valid:
+                images = images / 255.0
+                pred = eval_step(
+                    state.params, jnp.asarray(voxels), jnp.asarray(poses)
+                )
+                l1_sum += float(jnp.mean(jnp.abs(jnp.asarray(images) - pred)))
+                l1_n += 1
+            if l1_n:
+                run.log(epoch=epoch, valid_l1=l1_sum / l1_n)
+    save_params_npz(os.path.join(run.root, "params_final.npz"),
+                    jax.tree.map(np.asarray, state.params))
+    return state
+
+
+def train_texture(
+    cfg: TrainConfig,
+    model_cfg: Optional[TextureFaceConfig] = None,
+    max_steps: Optional[int] = None,
+    use_mesh: bool = True,
+    progress: Optional[Callable[[int, float], None]] = None,
+):
+    """Run texture/normal face training; returns the final TrainState."""
+    model_cfg = model_cfg or TextureFaceConfig(
+        keep_prob=cfg.keep_prob, new_size=cfg.new_size
+    )
+    run = _RunDir(cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    state, tx = create_texture_state(rng, model_cfg, cfg)
+    mesh = _auto_mesh(cfg) if use_mesh else None
+    if mesh is not None:
+        state = replicate(mesh, state)
+    steps = {}
+    step_key = jax.random.PRNGKey(cfg.seed + 1)
+    global_step = int(state.step)
+    last_ckpt = time.time()
+    ckpt_dir = os.path.join(run.root, cfg.trained_model_name)
+
+    for epoch in range(cfg.max_epochs):
+        patch = cfg.patch_size_for_epoch(epoch)
+        if patch not in steps:
+            steps[patch] = make_texture_train_step(model_cfg, cfg, tx, patch)
+        step_fn = steps[patch]
+        loader = data_loader_image_texture_normal_face(
+            cfg.image_path,
+            cfg.model_path,
+            cfg.texture_path,
+            cfg.normal_path,
+            batch_size=cfg.batch_size,
+            batches_chunk=cfg.batches_chunk,
+            img_res=cfg.img_res,
+            voxel_res=cfg.voxel_res,
+        )
+        for images, normals, voxels, textures, poses, names in loader:
+            images = images / 255.0
+            normals = normals / 255.0
+            n_batches = len(images) // cfg.batch_size
+            for i in range(n_batches):
+                sl = slice(i * cfg.batch_size, (i + 1) * cfg.batch_size)
+                batch = (
+                    jnp.asarray(voxels[sl]),
+                    jnp.asarray(images[sl]),
+                    jnp.asarray(normals[sl]),
+                    jnp.asarray(textures[sl]),
+                    jnp.asarray(poses[sl]),
+                )
+                if mesh is not None:
+                    batch = shard_batch(mesh, batch)
+                state, loss = step_fn(state, *batch, step_key)
+                global_step += 1
+                if progress is not None:
+                    progress(global_step, float(loss))
+                if global_step % cfg.sample_every_steps == 0:
+                    run.log(step=global_step, epoch=epoch, loss=float(loss))
+                if time.time() - last_ckpt > cfg.checkpoint_secs:
+                    save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
+                    last_ckpt = time.time()
+                if max_steps is not None and global_step >= max_steps:
+                    save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
+                    return state
+        save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
+    save_params_npz(os.path.join(run.root, "params_final.npz"),
+                    jax.tree.map(np.asarray, state.params))
+    return state

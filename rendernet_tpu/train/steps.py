@@ -27,11 +27,11 @@ from rendernet_tpu.models.texture_face import (
     texture_face_rendernet,
 )
 from rendernet_tpu.nn.layers import Module, Params
-from rendernet_tpu.ops.crops import (
-    random_crop_voxel_image,
-    random_crop_voxel_texture_image_normal,
+from rendernet_tpu.ops.crops import crop_image, random_crop_offsets
+from rendernet_tpu.ops.resample import (
+    rotate_resample_camera_patch,
+    rotate_resample_to_camera,
 )
-from rendernet_tpu.ops.resample import rotate_resample_to_camera
 from rendernet_tpu.train.config import TrainConfig
 from rendernet_tpu.train.optim import make_optimizer
 
@@ -98,8 +98,19 @@ def make_shader_train_step(
 
     def loss_fn(params, voxels, images, poses, rng):
         crop_rng, drop_rng = jax.random.split(rng)
-        cam = rotate_resample_to_camera(voxels, poses, new_size=cfg.new_size)
-        vox_c, img_c = random_crop_voxel_image(crop_rng, cam, images, patch_size)
+        if patch_size == cfg.new_size:
+            vox_c = rotate_resample_to_camera(voxels, poses, new_size=cfg.new_size)
+            img_c = images
+        else:
+            # Crop fused INTO the resample: only the patch's gathers run
+            # (vs the reference's resample-everything-then-crop).
+            offsets = random_crop_offsets(crop_rng, cfg.new_size, patch_size)
+            vox_c = rotate_resample_camera_patch(
+                voxels, poses, offsets, patch_size, new_size=cfg.new_size
+            )
+            img_c = crop_image(
+                images, offsets, patch_size, images.shape[1] // cfg.new_size
+            )
         m = Module(params=params, compute_dtype=cdt, train=True, dropout_rng=drop_rng)
         pred = shader_rendernet(m, vox_c.astype(cdt), model_cfg)
         return shader_loss_from_images(pred, img_c, greyscale)
@@ -154,14 +165,22 @@ def make_texture_train_step(
     def loss_fn(params, voxels, images, normals, textures, poses, rng):
         crop_rng, drop_rng = jax.random.split(rng)
         m = Module(params=params, compute_dtype=cdt, train=True, dropout_rng=drop_rng)
-        tex_grid = texture_decoder(m, textures.astype(cdt))
-        shape_cam = rotate_resample_to_camera(voxels, poses, new_size=cfg.new_size)
-        tex_cam = rotate_resample_to_camera(
-            tex_grid.astype(jnp.float32), poses, new_size=cfg.new_size
-        )
-        vox_c, tex_c, img_c, nrm_c = random_crop_voxel_texture_image_normal(
-            crop_rng, shape_cam, tex_cam, images, normals, patch_size
-        )
+        tex_grid = texture_decoder(m, textures.astype(cdt)).astype(jnp.float32)
+        if patch_size == cfg.new_size:
+            vox_c = rotate_resample_to_camera(voxels, poses, new_size=cfg.new_size)
+            tex_c = rotate_resample_to_camera(tex_grid, poses, new_size=cfg.new_size)
+            img_c, nrm_c = images, normals
+        else:
+            offsets = random_crop_offsets(crop_rng, cfg.new_size, patch_size)
+            vox_c = rotate_resample_camera_patch(
+                voxels, poses, offsets, patch_size, new_size=cfg.new_size
+            )
+            tex_c = rotate_resample_camera_patch(
+                tex_grid, poses, offsets, patch_size, new_size=cfg.new_size
+            )
+            factor = images.shape[1] // cfg.new_size
+            img_c = crop_image(images, offsets, patch_size, factor)
+            nrm_c = crop_image(normals, offsets, patch_size, factor)
         both = jnp.concatenate([vox_c, tex_c], axis=4).astype(cdt)
         albedo, normal_pred = texture_face_rendernet(m, both, model_cfg)
         return shader_loss_from_images(

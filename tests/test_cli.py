@@ -1,0 +1,66 @@
+"""CLI smoke tests (run in-process on CPU; no TPU required)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from rendernet_tpu.cli import convert, demo, pack_tar
+from rendernet_tpu.cli.__main__ import COMMANDS, main as dispatch
+
+ASSETS = "/root/reference/binvox"
+
+
+def test_dispatcher_help_and_unknown():
+    assert dispatch([]) == 0
+    assert dispatch(["no-such-command"]) == 2
+    assert set(COMMANDS) == {
+        "render", "train-shader", "train-texture", "reconstruct",
+        "pack-tar", "convert",
+    }
+
+
+def test_pack_tar_roundtrip(tmp_path):
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    from rendernet_tpu.utils.image import save_image
+
+    for i in range(3):
+        save_image(np.full((8, 8), i * 80, np.uint8), str(imgs / f"im_{i}.png"))
+    out = str(tmp_path / "out.tar")
+    pack_tar.main(["--images_path", str(imgs), "--save_path", out])
+    import tarfile
+
+    with tarfile.open(out) as tf:
+        assert len(tf.getnames()) == 3
+
+
+def test_demo_render_greyscale(tmp_path):
+    out = str(tmp_path / "render")
+    demo.main([
+        "--voxel_path", os.path.join(ASSETS, "chair.binvox"),
+        "--render_dir", out, "--out_channels", "1",
+        "--azimuth", "60", "--elevation", "20",
+    ])
+    files = os.listdir(out)
+    assert len(files) == 1 and files[0].endswith(".png")
+
+
+def test_convert_npz_refdir_roundtrip(tmp_path):
+    import jax
+
+    from rendernet_tpu.models.shader import ShaderConfig, init_shader_params
+    from rendernet_tpu.train.checkpoint import load_params_npz, save_params_npz
+
+    # Use a small-depth template indirectly: full shader init is heavy, so
+    # exercise the converter on the shape decoder instead.
+    from rendernet_tpu.models.decoders import init_shape_decoder_params
+
+    params = init_shape_decoder_params(jax.random.PRNGKey(0), z_dim=8)
+    src = str(tmp_path / "params.npz")
+    save_params_npz(src, params)
+    refdir = str(tmp_path / "refdir")
+    convert.main(["npz-to-refdir", src, refdir])
+    assert "g_zP_g_gc1_weights.txt.npz" in os.listdir(refdir)

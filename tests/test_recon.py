@@ -1,0 +1,125 @@
+"""Inverse-rendering tests (tiny grids; frozen random nets)."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rendernet_tpu.models.decoders import (
+    init_recon_rendernet_params,
+    init_recon_texture_decoder_params,
+    init_shape_decoder_params,
+)
+from rendernet_tpu.recon import (
+    Latents,
+    ReconConfig,
+    ReconModel,
+    create_param_center,
+    initial_latents,
+    make_recon_step,
+    recon_forward,
+    reconstruct,
+    subdivided_latents,
+)
+
+CFG = ReconConfig(
+    z_dim=16,
+    batch_size=5,
+    inner_steps=4,
+    max_epochs=2,
+    new_size=32,
+    light_elevation=(90 - 105) * math.pi / 180.0,
+    shape_eta=0.1,
+    pose_eta=0.001,
+    tex_eta=0.1,
+    light_eta=0.05,
+)
+
+
+def _tiny_model():
+    # Small z_dim shape decoder still emits 64^3 voxels; renderer runs at
+    # new_size=32 depth.
+    return ReconModel(
+        decoder=init_shape_decoder_params(jax.random.PRNGKey(0), z_dim=CFG.z_dim),
+        texture=init_recon_texture_decoder_params(jax.random.PRNGKey(1)),
+        renderer=init_recon_rendernet_params(jax.random.PRNGKey(2), new_size=32),
+    )
+
+
+@pytest.fixture(scope="module")
+def model():
+    return _tiny_model()
+
+
+def test_create_param_center_matches_reference_semantics():
+    p = create_param_center(phi_mid=270, phi_range=60, theta_mid=90, theta_range=30)
+    assert p.shape == (5, 3)
+    # row 2 is the midpoint hypothesis
+    assert p[2, 0] == pytest.approx(270 * math.pi / 180.0)
+    assert p[2, 1] == pytest.approx(0.0)
+    assert np.all(p[:, 2] == 1.0)
+    # azimuth wraps modulo 360
+    p2 = create_param_center(phi_mid=350, phi_range=60, theta_mid=90, theta_range=30)
+    assert p2[3, 0] == pytest.approx(((350 + 30) % 360) * math.pi / 180.0)
+
+
+def test_recon_forward_shapes(model):
+    latents = initial_latents(CFG)
+    compos, albedo, normal, shape = recon_forward(model, latents, CFG)
+    assert compos.shape == (5, 128, 128, 3)  # 32-grid -> 4x upsample
+    assert shape.shape == (5, 64, 64, 64, 1)
+    assert np.isfinite(np.asarray(compos)).all()
+
+
+def test_recon_step_only_updates_latents_and_decreases_loss(model):
+    target = jnp.full((5, 128, 128, 3), 0.4, jnp.float32)
+    step = make_recon_step(model, CFG)
+    latents = initial_latents(CFG)
+    l0 = None
+    for i in range(6):
+        latents, losses = step(latents, target)
+        if l0 is None:
+            l0 = np.asarray(losses)
+    lN = np.asarray(losses)
+    assert np.isfinite(lN).all()
+    assert lN.mean() < l0.mean()
+
+
+def test_recon_scan_matches_stepwise(model):
+    target = jnp.full((5, 128, 128, 3), 0.4, jnp.float32)
+    run = make_recon_step(model, CFG, scan_steps=3)
+    step = make_recon_step(model, CFG)
+    latents0 = initial_latents(CFG)
+    scan_latents, scan_losses = run(latents0, target)
+    latents = latents0
+    manual_losses = []
+    for _ in range(3):
+        latents, losses = step(latents, target)
+        manual_losses.append(np.asarray(losses))
+    np.testing.assert_allclose(
+        np.asarray(scan_losses), np.stack(manual_losses), rtol=2e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(scan_latents.pose), np.asarray(latents.pose), rtol=2e-4
+    )
+
+
+def test_reconstruct_driver_runs_and_subdivides(model):
+    target = jnp.full((5, 128, 128, 3), 0.4, jnp.float32)
+    seen = []
+    latents, history = reconstruct(
+        model, target, CFG, callback=lambda e, l, f: seen.append(e)
+    )
+    assert history.shape == (2, 5)
+    assert seen == [0, 1]
+    assert np.isfinite(history).all()
+
+
+def test_subdivided_latents_tiles_best():
+    latents = initial_latents(CFG)
+    new = subdivided_latents(latents, best_idx=3, phi_range=30, theta_range=15, cfg=CFG)
+    np.testing.assert_allclose(
+        np.asarray(new.vector), np.tile(np.asarray(latents.vector[3])[None], (5, 1))
+    )
+    assert new.pose.shape == (5, 3)

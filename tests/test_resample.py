@@ -280,3 +280,27 @@ def test_camera_alignment_shape():
     params = jnp.asarray(np.array([[0.1, 0.1, 1.0]], np.float32))
     out = rotate_resample_to_camera(vox, params, 8, 16)
     assert out.shape == (1, 16, 16, 16, 1)
+
+
+def test_camera_patch_matches_full_resample_crop(rng):
+    """Crop-fused resample must be bit-identical to resample-then-crop."""
+    import jax
+
+    from rendernet_tpu.ops.resample import (
+        rotate_resample_camera_patch,
+        rotate_resample_to_camera,
+    )
+
+    vox = jnp.asarray(rng.random((2, 16, 16, 16, 1), dtype=np.float32))
+    pose = jnp.asarray([[0.7, 0.3, 1.1], [2.5, -0.4, 0.9]], jnp.float32)
+    full = rotate_resample_to_camera(vox, pose, new_size=32)
+    offsets = jnp.asarray([5, 11], jnp.int32)
+    patch = rotate_resample_camera_patch(vox, pose, offsets, 8, new_size=32)
+    np.testing.assert_array_equal(
+        np.asarray(patch), np.asarray(full[:, 5:13, 11:19])
+    )
+    # and under jit with traced offsets
+    patch2 = jax.jit(
+        lambda v, p, o: rotate_resample_camera_patch(v, p, o, 8, new_size=32)
+    )(vox, pose, offsets)
+    np.testing.assert_allclose(np.asarray(patch2), np.asarray(patch), atol=1e-5)
