@@ -1,0 +1,479 @@
+"""Fast multipass affine voxel resampling (Pallas TPU kernels).
+
+WHY: the exact trilinear resample (ops/resample.py) needs 8 arbitrary
+gathers per output point; XLA:TPU lowers those to scalar-rate gathers
+(~100M elem/s measured on v5e), making the resample dominate the training
+step. TPUs DO have a vector-rate dynamic gather along the lane (minor)
+dimension, which Pallas exposes via ``jnp.take_along_axis(arr, idx,
+axis=-1)`` inside a kernel (measured ~50x faster than XLA's gather).
+
+DESIGN: decompose the affine backward warp into ELEMENTARY passes, each
+updating a single coordinate (x <- a*x + b*y + c*z + d). Every pass is a
+1-D linear interpolation along one axis whose sample position varies
+linearly over the grid — exactly a lane-gather with in-kernel computed
+indices. The decomposition (multi-pass resampling, cf. Paeth '86 /
+Catmull-Smith '80, derived for the RenderNet pose structure of
+tools/resampling_voxel_grid.py:515-614):
+
+    r_inv = R2Dxz(-az') . R2Dxy(elev) . (1/s) I,   az' = azimuth - pi/2
+
+  * each plane angle splits into an exact quarter-turn (array
+    transpose/flip — no resampling, no error) plus a residual in
+    [-45, 45], keeping every shear slope <= tan(22.5)=0.414 / sin(45);
+  * each residual rotation becomes three unit-slope shears
+    R(t) = ShU(-tan(t/2)) ShV(sin t) ShU(-tan(t/2));
+  * the isotropic scale and the FULL translation become three axis scale
+    passes whose offsets are solved numerically from the composition
+    requirement (total plan matrix == the exact path's grid_to_grid
+    matrix), making the plan immune to centering-convention slips;
+  * adjacent same-axis elementary passes merge (7 interp passes total).
+
+SEMANTICS: each pass is an exact 1-D linear interp; the composition applies
+the exact affine map with a separable reconstruction filter — identical to
+direct trilinear for axis-aligned poses, small extra smoothing under
+rotation (the classic multipass filter difference). Content within the
+inscribed ball of the source cube is preserved; extreme cube-corner voxels
+can clip by a few cells at worst-case (45-degree residual) poses — the same
+order of corner clipping the 128-grid embedding itself has at high scale.
+Use ops/resample.py when bit-parity with the reference's direct trilinear
+is required; use this path for training/throughput.
+
+DIFFERENTIABILITY: full custom VJP. The voxel adjoint of a pass is a banded
+scatter implemented as another lane-gather (tap enumeration over the
+transposed band — self-slopes stay >= ~0.7 so <= 6 taps). Pose gradients
+flow through a per-pass position cotangent emitted by the backward kernel
+and reduced against coordinate iotas at the XLA level, then through the
+(jnp-traced) plan coefficients into the pose inputs.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rendernet_tpu.ops.transforms import grid_to_grid_matrix, voxel_to_image_axes
+
+__all__ = [
+    "build_pass_plan",
+    "compose_plan_matrix",
+    "apply_interp_pass",
+    "rotate_resample_multipass",
+    "rotate_resample_to_camera_multipass",
+]
+
+_TAPS = 6  # adjoint band taps: slopes >= 0.5 need <= 2/0.5 + 2 = 6
+_BLK = 512  # rows per kernel block
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# plan construction (traced coefficients; static structure)
+# ---------------------------------------------------------------------------
+def _shear_steps(plane: Tuple[int, int], theta, center: float) -> List:
+    """Three unit-slope shears for R2D(theta) in (u, v) = plane, each
+    anchored at ``center`` so intermediate volumes stay in-grid.
+
+    R2D convention: u' = cos(t) u - sin(t) v;  v' = sin(t) u + cos(t) v.
+    Identity: R(t) = ShU(-tan(t/2)) . ShV(sin t) . ShU(-tan(t/2)), leftmost
+    factor applied to the volume first.
+    """
+    u, v = plane
+    t2 = -jnp.tan(theta * 0.5)
+    sn = jnp.sin(theta)
+    zero = jnp.zeros_like(t2)
+    one = jnp.ones_like(t2)
+
+    def shear(axis, other, slope):
+        coeffs = [zero, zero, zero, -slope * center]  # delta recenters
+        coeffs[axis] = one
+        coeffs[other] = slope
+        return ("interp", axis, coeffs)
+
+    return [shear(u, v, t2), shear(v, u, sn), shear(u, v, t2)]
+
+
+def _plane_matrix(plane: Tuple[int, int], theta) -> jnp.ndarray:
+    """[B,3,3] R2D(theta) embedded in 3-space on ``plane``."""
+    u, v = plane
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    b = c.shape[0]
+    m = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (b, 1, 1))
+    m = m.at[:, u, u].set(c)
+    m = m.at[:, u, v].set(-s)
+    m = m.at[:, v, u].set(s)
+    m = m.at[:, v, v].set(c)
+    return m
+
+
+_QTURN_LIN = {
+    # plane -> 4 quarter-turn linear 3x3s (k = 0..3), R2D(k*90) on plane.
+    (0, 2): [
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+        [[0, 0, -1], [0, 1, 0], [1, 0, 0]],
+        [[-1, 0, 0], [0, 1, 0], [0, 0, -1]],
+        [[0, 0, 1], [0, 1, 0], [-1, 0, 0]],
+    ],
+    (0, 1): [
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+        [[0, -1, 0], [1, 0, 0], [0, 0, 1]],
+        [[-1, 0, 0], [0, -1, 0], [0, 0, 1]],
+        [[0, 1, 0], [-1, 0, 0], [0, 0, 1]],
+    ],
+}
+
+
+def _qturn_matrix(plane, k: jnp.ndarray, new_size: int) -> jnp.ndarray:
+    """Homogeneous [B,4,4] of the exact lattice quarter turn (recentered at
+    (new_size-1)/2, which is exact on the index lattice)."""
+    lin = jnp.asarray(_QTURN_LIN[plane], jnp.float32)[k]  # [B,3,3]
+    c = jnp.full((3,), (new_size - 1) / 2.0, jnp.float32)
+    trans = c[None] - jnp.einsum("bij,j->bi", lin, c)
+    b = k.shape[0]
+    m = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (b, 1, 1))
+    m = m.at[:, :3, :3].set(lin)
+    m = m.at[:, :3, 3].set(trans)
+    return m
+
+
+def _split_quarter(theta):
+    """theta -> (k in [0,4), residual in [-45deg, 45deg])."""
+    k = jnp.round(theta / (math.pi / 2.0))
+    r = theta - k * (math.pi / 2.0)
+    return jax.lax.stop_gradient(k.astype(jnp.int32)) % 4, r
+
+
+def build_pass_plan(
+    view_params: jnp.ndarray, size: int = 64, new_size: int = 128
+) -> List:
+    """Build the step list for the RenderNet backward warp.
+
+    Steps: ``("qturn", plane, k [B])`` exact lattice turns and
+    ``("interp", axis, coeffs [B,4])`` 1-D interp passes. The source is
+    assumed pre-embedded centered in the ``new_size`` cube. Composition of
+    all step matrices equals ``[grid_to_grid_matrix | +pad]`` exactly (the
+    scale-pass offsets are solved from that requirement); tests assert it.
+    """
+    view_params = jnp.asarray(view_params, jnp.float32)
+    bsz = view_params.shape[0]
+    azimuth = view_params[:, 0] - jnp.float32(math.pi * 0.5)
+    elevation = view_params[:, 1]
+    if view_params.shape[1] >= 3:
+        scale = view_params[:, 2]
+    else:
+        scale = jnp.ones((bsz,), jnp.float32)
+
+    center = new_size / 2.0
+    pad = (new_size - size) // 2
+
+    kxz, rxz = _split_quarter(-azimuth)
+    kxy, rxy = _split_quarter(elevation)
+
+    steps: List = [("qturn", (0, 2), kxz)]
+    steps += _shear_steps((0, 2), rxz, center)
+    steps.append(("qturn", (0, 1), kxy))
+    steps += _shear_steps((0, 1), rxy, center)
+
+    # Scale passes; offsets tau solved from the composition requirement.
+    target = grid_to_grid_matrix(view_params, size=size, new_size=new_size)
+    t_target = target[:, :, 3] + jnp.float32(pad)
+    m_pre = _compose_steps(steps, new_size)  # [B,4,4] of everything so far
+    tau = jnp.linalg.solve(
+        m_pre[:, :3, :3], (t_target - m_pre[:, :3, 3])[..., None]
+    )[..., 0]
+
+    inv_s = 1.0 / scale
+    zero = jnp.zeros_like(inv_s)
+    for axis in range(3):
+        coeffs = [zero, zero, zero, tau[:, axis]]
+        coeffs[axis] = inv_s
+        steps.append(("interp", axis, coeffs))
+
+    # Merge adjacent same-axis interp passes: E1 (self-coef a1) then E2 on
+    # the same axis compose (matrix product E1 @ E2) into one elementary
+    # pass with row = a1 * row2 + (row1 with self coef zeroed).
+    merged: List = []
+    for step in steps:
+        if (
+            step[0] == "interp"
+            and merged
+            and merged[-1][0] == "interp"
+            and merged[-1][1] == step[1]
+        ):
+            axis = step[1]
+            prev = merged[-1][2]
+            a1 = prev[axis]
+            row1_rest = list(prev)
+            row1_rest[axis] = jnp.zeros_like(a1)
+            new_row = [a1 * c2 + c1r for c2, c1r in zip(step[2], row1_rest)]
+            merged[-1] = ("interp", axis, new_row)
+        else:
+            merged.append(step)
+
+    return [
+        (s[0], s[1], jnp.stack(s[2], -1) if s[0] == "interp" else s[2])
+        for s in merged
+    ]
+
+
+def _compose_steps(steps: Sequence, new_size: int) -> jnp.ndarray:
+    total = None
+    for step in steps:
+        if step[0] == "qturn":
+            m = _qturn_matrix(step[1], step[2], new_size)
+        else:
+            axis, coeffs = step[1], step[2]
+            if isinstance(coeffs, jnp.ndarray):
+                cols = [coeffs[:, i] for i in range(4)]
+            else:
+                cols = coeffs
+            b = cols[0].shape[0]
+            m = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (b, 1, 1))
+            m = m.at[:, axis, :].set(jnp.stack(cols, -1))
+        total = m if total is None else jnp.matmul(
+            total, m, precision=jax.lax.Precision.HIGHEST
+        )
+    return total
+
+
+def compose_plan_matrix(steps: Sequence, new_size: int) -> jnp.ndarray:
+    """[B,4,4] effective backward map of the whole plan (for tests)."""
+    return _compose_steps(steps, new_size)
+
+
+# ---------------------------------------------------------------------------
+# one interp pass: lane-gather kernels + custom VJP
+# ---------------------------------------------------------------------------
+def _fwd_kernel(p_ref, v_ref, o_ref, *, db: int, lanes: int):
+    bi = pl.program_id(0)
+    al, ca, cb, de = p_ref[bi, 0], p_ref[bi, 1], p_ref[bi, 2], p_ref[bi, 3]
+    rb = pl.program_id(1)
+    rows = rb * _BLK + jax.lax.broadcasted_iota(jnp.int32, (_BLK, lanes), 0)
+    d_a = (rows // db).astype(jnp.float32)
+    d_b = (rows % db).astype(jnp.float32)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (_BLK, lanes), 1).astype(jnp.float32)
+    pos = al * ll + ca * d_a + cb * d_b + de
+    i0f = jnp.floor(pos)
+    w = pos - i0f
+    i0 = i0f.astype(jnp.int32)
+    v = v_ref[0]
+    m0 = ((i0 >= 0) & (i0 <= lanes - 1)).astype(jnp.float32)
+    m1 = ((i0 + 1 >= 0) & (i0 + 1 <= lanes - 1)).astype(jnp.float32)
+    g0 = jnp.take_along_axis(v, jnp.clip(i0, 0, lanes - 1), axis=1)
+    g1 = jnp.take_along_axis(v, jnp.clip(i0 + 1, 0, lanes - 1), axis=1)
+    o_ref[0] = (1.0 - w) * g0 * m0 + w * g1 * m1
+
+
+def _bwd_kernel(p_ref, v_ref, g_ref, gv_ref, gp_ref, *, db: int, lanes: int):
+    bi = pl.program_id(0)
+    al, ca, cb, de = p_ref[bi, 0], p_ref[bi, 1], p_ref[bi, 2], p_ref[bi, 3]
+    rb = pl.program_id(1)
+    rows = rb * _BLK + jax.lax.broadcasted_iota(jnp.int32, (_BLK, lanes), 0)
+    d_a = (rows // db).astype(jnp.float32)
+    d_b = (rows % db).astype(jnp.float32)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (_BLK, lanes), 1).astype(jnp.float32)
+    o_row = ca * d_a + cb * d_b + de
+    v = v_ref[0]
+    g = g_ref[0]
+
+    # Position cotangent (drives pose grads): dout/dpos = v1*m1 - v0*m0.
+    pos = al * ll + o_row
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    m0 = ((i0 >= 0) & (i0 <= lanes - 1)).astype(jnp.float32)
+    m1 = (i0 + 1 <= lanes - 1).astype(jnp.float32) * (i0 + 1 >= 0).astype(
+        jnp.float32
+    )
+    v0 = jnp.take_along_axis(v, jnp.clip(i0, 0, lanes - 1), axis=1)
+    v1 = jnp.take_along_axis(v, jnp.clip(i0 + 1, 0, lanes - 1), axis=1)
+    gp_ref[0] = g * (v1 * m1 - v0 * m0)
+
+    # Voxel adjoint: gv[i] = sum_{l in band(i)} g[l] * (1 - |pos_l - i|).
+    inv_al = 1.0 / al
+    b1 = (ll - 1.0 - o_row) * inv_al
+    b2 = (ll + 1.0 - o_row) * inv_al
+    l0 = jnp.ceil(jnp.minimum(b1, b2)).astype(jnp.int32)
+    acc = jnp.zeros((_BLK, lanes), jnp.float32)
+    for t in range(_TAPS):
+        lt = l0 + t
+        pos_t = al * lt.astype(jnp.float32) + o_row
+        wgt = 1.0 - jnp.abs(pos_t - ll)
+        valid = (wgt > 0.0) & (lt >= 0) & (lt <= lanes - 1)
+        gl = jnp.take_along_axis(g, jnp.clip(lt, 0, lanes - 1), axis=1)
+        acc = acc + jnp.where(valid, wgt * gl, 0.0)
+    gv_ref[0] = acc
+
+
+def _pass_call(kern_builder, n_out, vol, params, *extra):
+    bc, r, lanes = vol.shape
+    blocks = [
+        pl.BlockSpec((1, _BLK, lanes), lambda b, rb: (b, rb, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(1 + len(extra))
+    ]
+    out_spec = pl.BlockSpec((1, _BLK, lanes), lambda b, rb: (b, rb, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bc, r, lanes), jnp.float32)
+    return pl.pallas_call(
+        kern_builder,
+        grid=(bc, r // _BLK),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM)  # full [BC, 4] params
+        ] + blocks,
+        out_specs=out_spec if n_out == 1 else [out_spec] * n_out,
+        out_shape=out_shape if n_out == 1 else [out_shape] * n_out,
+        interpret=not _on_tpu(),
+    )(params, vol, *extra)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def apply_interp_pass(vol: jnp.ndarray, params: jnp.ndarray, db: int):
+    """Differentiable 1-D interp pass along the minor axis.
+
+    ``vol`` [BC, R, L] with rows encoding the two non-pass coords as
+    row = d_a * db + d_b; ``params`` [BC, 4] = (alpha, c_a, c_b, delta):
+    the sample position for lane l of row (d_a, d_b) is
+    alpha*l + c_a*d_a + c_b*d_b + delta. Out-of-range positions contribute
+    zero (the exact path's zero-padding semantics).
+    """
+    bc, r, lanes = vol.shape
+    kern = functools.partial(_fwd_kernel, db=db, lanes=lanes)
+    return _pass_call(kern, 1, vol, params)
+
+
+def _pass_fwd(vol, params, db):
+    return apply_interp_pass(vol, params, db), (vol, params)
+
+
+def _pass_bwd(db, res, g):
+    vol, params = res
+    bc, r, lanes = vol.shape
+    kern = functools.partial(_bwd_kernel, db=db, lanes=lanes)
+    gv, gpos = _pass_call(kern, 2, vol, params, g)
+    rows = jnp.arange(r, dtype=jnp.float32)
+    d_a = jnp.floor(rows / db)[None, :, None]
+    d_b = (rows % db)[None, :, None]
+    ll = jnp.arange(lanes, dtype=jnp.float32)[None, None, :]
+    gparams = jnp.stack(
+        [
+            jnp.sum(gpos * ll, axis=(1, 2)),
+            jnp.sum(gpos * d_a, axis=(1, 2)),
+            jnp.sum(gpos * d_b, axis=(1, 2)),
+            jnp.sum(gpos, axis=(1, 2)),
+        ],
+        axis=-1,
+    )
+    return gv, gparams
+
+
+apply_interp_pass.defvjp(_pass_fwd, _pass_bwd)
+
+
+# ---------------------------------------------------------------------------
+# full multipass warp
+# ---------------------------------------------------------------------------
+def _quarter_turn(vol: jnp.ndarray, plane: Tuple[int, int], k: jnp.ndarray):
+    """Exact per-sample k*90-degree turn of [BC, Z, Y, X] in ``plane``.
+
+    Array semantics match the _qturn_matrix convention: for plane (0,2)
+    (x,z), out[z,y,x] = vol[x, y, N-1-z] at k=1, etc.
+    """
+    if plane == (0, 2):
+        a0, a1 = 0, 2  # volume axes (Z, X) of the per-sample [Z, Y, X] array
+    else:  # plane (0, 1) = (x, y) -> volume axes (Y, X)
+        a0, a1 = 1, 2
+
+    def rot0(v):
+        return v
+
+    def rot1(v):
+        return jnp.flip(jnp.swapaxes(v, a0, a1), axis=a0)
+
+    def rot2(v):
+        return jnp.flip(v, axis=(a0, a1))
+
+    def rot3(v):
+        return jnp.flip(jnp.swapaxes(v, a0, a1), axis=a1)
+
+    return jax.vmap(
+        lambda v, kk: jax.lax.switch(kk, [rot0, rot1, rot2, rot3], v)
+    )(vol, k)
+
+
+def rotate_resample_multipass(
+    voxels: jnp.ndarray,
+    view_params: jnp.ndarray,
+    size: int | None = None,
+    new_size: int = 128,
+) -> jnp.ndarray:
+    """Fast multipass counterpart of ops.resample.rotate_resample.
+
+    ``voxels`` [B, S, S, S, C] -> [B, N, N, N, C] float32.
+    """
+    b, s1, s2, s3, c = voxels.shape
+    if size is None:
+        size = s1
+    n = new_size
+    vol = jnp.moveaxis(voxels.astype(jnp.float32), -1, 1).reshape(b * c, s1, s2, s3)
+    pad = (n - size) // 2
+    pw = (pad, n - size - pad)
+    vol = jnp.pad(vol, ((0, 0), pw, pw, pw))
+
+    steps = build_pass_plan(view_params, size=size, new_size=n)
+
+    def per_c(x):
+        return jnp.repeat(x, c, axis=0) if c > 1 else x
+
+    # axes[i] = logical coordinate (0=x, 1=y, 2=z) on array axis i+1 of the
+    # current [BC, A1, A2, A3] layout. Start (z, y, x).
+    axes = [2, 1, 0]
+
+    def to_canonical(vol, axes):
+        # qturn array ops assume canonical (z, y, x) layout
+        for want, arr_pos in ((2, 0), (1, 1)):
+            cur = axes.index(want)
+            if cur != arr_pos:
+                vol = jnp.swapaxes(vol, arr_pos + 1, cur + 1)
+                axes[arr_pos], axes[cur] = axes[cur], axes[arr_pos]
+        return vol
+
+    for step in steps:
+        if step[0] == "qturn":
+            plane, k = step[1], per_c(step[2])
+            vol = to_canonical(vol, axes)
+            vol = _quarter_turn(vol, plane, k)
+            continue
+        axis, coeffs = step[1], per_c(step[2])
+        pos = axes.index(axis)
+        if pos != 2:
+            vol = jnp.swapaxes(vol, pos + 1, 3)
+            axes[pos], axes[2] = axes[2], axes[pos]
+        a_coord, b_coord = axes[0], axes[1]
+        da, db = vol.shape[1], vol.shape[2]
+        params = jnp.stack(
+            [coeffs[:, axis], coeffs[:, a_coord], coeffs[:, b_coord], coeffs[:, 3]],
+            axis=-1,
+        )
+        vol = apply_interp_pass(vol.reshape(b * c, da * db, n), params, db)
+        vol = vol.reshape(b * c, da, db, n)
+
+    vol = to_canonical(vol, axes)
+    return jnp.moveaxis(vol.reshape(b, c, n, n, n), 1, -1)
+
+
+def rotate_resample_to_camera_multipass(
+    voxels: jnp.ndarray,
+    view_params: jnp.ndarray,
+    size: int | None = None,
+    new_size: int = 128,
+) -> jnp.ndarray:
+    """Fast counterpart of rotate_resample_to_camera."""
+    return voxel_to_image_axes(
+        rotate_resample_multipass(voxels, view_params, size, new_size)
+    )

@@ -52,6 +52,10 @@ class TrainConfig:
 
     # --- TPU-native knobs (no reference counterpart) ---
     compute_dtype: str = "bfloat16"
+    # Resample kernel: "auto" = multipass Pallas kernel on TPU / exact
+    # gather path elsewhere; "exact" forces direct trilinear (bit-parity
+    # with the reference); "multipass" forces the fast path.
+    resample: str = "auto"
     data_parallel: Optional[int] = None  # None = all local devices
     new_size: int = 128
     seed: int = 0

@@ -27,7 +27,8 @@ from rendernet_tpu.models.texture_face import (
     texture_face_rendernet,
 )
 from rendernet_tpu.nn.layers import Module, Params
-from rendernet_tpu.ops.crops import crop_image, random_crop_offsets
+from rendernet_tpu.ops.crops import crop_image, crop_voxel, random_crop_offsets
+from rendernet_tpu.ops.pallas_resample import rotate_resample_to_camera_multipass
 from rendernet_tpu.ops.resample import (
     rotate_resample_camera_patch,
     rotate_resample_to_camera,
@@ -54,6 +55,35 @@ class TrainState(NamedTuple):
 
 def _dtype(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+def _resample_method(cfg: TrainConfig) -> str:
+    if cfg.resample == "auto":
+        return "multipass" if jax.default_backend() == "tpu" else "exact"
+    return cfg.resample
+
+
+def _resample_full(voxels, poses, cfg: TrainConfig):
+    """Full camera-aligned grid via the configured resample kernel."""
+    if _resample_method(cfg) == "multipass":
+        return rotate_resample_to_camera_multipass(
+            voxels, poses, new_size=cfg.new_size
+        )
+    return rotate_resample_to_camera(voxels, poses, new_size=cfg.new_size)
+
+
+def _resample_patch(voxels, poses, offsets, patch_size, cfg: TrainConfig):
+    """Cropped camera-aligned patch. Exact path fuses the crop into the
+    gathers; multipass warps the full grid (vector-rate, still far faster)
+    and crops after."""
+    if _resample_method(cfg) == "multipass":
+        cam = rotate_resample_to_camera_multipass(
+            voxels, poses, new_size=cfg.new_size
+        )
+        return crop_voxel(cam, offsets, patch_size)
+    return rotate_resample_camera_patch(
+        voxels, poses, offsets, patch_size, new_size=cfg.new_size
+    )
 
 
 def shader_loss_from_images(
@@ -99,15 +129,11 @@ def make_shader_train_step(
     def loss_fn(params, voxels, images, poses, rng):
         crop_rng, drop_rng = jax.random.split(rng)
         if patch_size == cfg.new_size:
-            vox_c = rotate_resample_to_camera(voxels, poses, new_size=cfg.new_size)
+            vox_c = _resample_full(voxels, poses, cfg)
             img_c = images
         else:
-            # Crop fused INTO the resample: only the patch's gathers run
-            # (vs the reference's resample-everything-then-crop).
             offsets = random_crop_offsets(crop_rng, cfg.new_size, patch_size)
-            vox_c = rotate_resample_camera_patch(
-                voxels, poses, offsets, patch_size, new_size=cfg.new_size
-            )
+            vox_c = _resample_patch(voxels, poses, offsets, patch_size, cfg)
             img_c = crop_image(
                 images, offsets, patch_size, images.shape[1] // cfg.new_size
             )
@@ -132,7 +158,7 @@ def make_shader_eval_step(model_cfg: ShaderConfig, cfg: TrainConfig):
     cdt = _dtype(cfg.compute_dtype)
 
     def step(params, voxels, poses):
-        cam = rotate_resample_to_camera(voxels, poses, new_size=cfg.new_size)
+        cam = _resample_full(voxels, poses, cfg)
         m = Module(params=params, compute_dtype=cdt)
         return shader_rendernet(m, cam.astype(cdt), model_cfg)
 
@@ -167,17 +193,13 @@ def make_texture_train_step(
         m = Module(params=params, compute_dtype=cdt, train=True, dropout_rng=drop_rng)
         tex_grid = texture_decoder(m, textures.astype(cdt)).astype(jnp.float32)
         if patch_size == cfg.new_size:
-            vox_c = rotate_resample_to_camera(voxels, poses, new_size=cfg.new_size)
-            tex_c = rotate_resample_to_camera(tex_grid, poses, new_size=cfg.new_size)
+            vox_c = _resample_full(voxels, poses, cfg)
+            tex_c = _resample_full(tex_grid, poses, cfg)
             img_c, nrm_c = images, normals
         else:
             offsets = random_crop_offsets(crop_rng, cfg.new_size, patch_size)
-            vox_c = rotate_resample_camera_patch(
-                voxels, poses, offsets, patch_size, new_size=cfg.new_size
-            )
-            tex_c = rotate_resample_camera_patch(
-                tex_grid, poses, offsets, patch_size, new_size=cfg.new_size
-            )
+            vox_c = _resample_patch(voxels, poses, offsets, patch_size, cfg)
+            tex_c = _resample_patch(tex_grid, poses, offsets, patch_size, cfg)
             factor = images.shape[1] // cfg.new_size
             img_c = crop_image(images, offsets, patch_size, factor)
             nrm_c = crop_image(normals, offsets, patch_size, factor)
