@@ -77,10 +77,18 @@ def main(argv=None):
     )
 
     if args.cmd == "ckpt-to-npz":
-        state = restore_checkpoint(args.checkpoint)
-        params = state["params"] if isinstance(state, dict) and "params" in state else state[0]
+        # Checkpoints store numbered leaves; training runs also write a
+        # params npz next to them — prefer that when present.
+        import os as _os
+
+        sibling = _os.path.join(_os.path.dirname(args.checkpoint), "params_latest.npz")
+        if _os.path.exists(sibling):
+            params = load_params_npz(sibling)
+        else:
+            data = restore_checkpoint(args.checkpoint)
+            params = {k: v for k, v in data.items()}
         save_params_npz(args.out, params)
-        print(f"wrote {len(params)} params to {args.out}")
+        print(f"wrote {len(params)} entries to {args.out}")
     elif args.cmd == "npz-to-refdir":
         params = load_params_npz(args.npz)
         export_reference_weight_dir(params, args.out_dir)

@@ -33,22 +33,31 @@ def _checkpointer():
 
 
 def save_checkpoint(path: str, state: Any) -> None:
-    """Save a pytree (e.g. TrainState) to an Orbax checkpoint directory."""
+    """Save any pytree (e.g. TrainState) to an Orbax checkpoint directory.
+
+    The tree is stored as numbered leaves so arbitrary containers
+    (NamedTuples, optax states) round-trip; restore with a ``target`` of the
+    same structure to get the typed object back. For a human-inspectable
+    params archive use :func:`save_params_npz`.
+    """
     path = os.path.abspath(path)
-    state = jax.tree.map(np.asarray, state)
-    _checkpointer().save(path, state, force=True)
+    leaves = jax.tree.leaves(state)
+    _checkpointer().save(
+        path, {str(i): np.asarray(leaf) for i, leaf in enumerate(leaves)},
+        force=True,
+    )
 
 
 def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
-    """Restore a pytree; ``target`` (same structure) restores typed leaves."""
+    """Restore a checkpoint; with ``target`` rebuilds its exact structure."""
     path = os.path.abspath(path)
-    if target is not None:
-        import orbax.checkpoint as ocp
+    data = _checkpointer().restore(path)
+    if target is None:
+        return data
+    leaves = [data[str(i)] for i in range(len(data))]
+    import jax.tree_util as jtu
 
-        return _checkpointer().restore(
-            path, restore_args=ocp.checkpoint_utils.construct_restore_args(target)
-        )
-    return _checkpointer().restore(path)
+    return jtu.tree_unflatten(jtu.tree_structure(target), leaves)
 
 
 def save_params_npz(path: str, params: Dict[str, Any]) -> None:

@@ -23,7 +23,11 @@ import numpy as np
 from rendernet_tpu.data.loaders import data_loader, data_loader_image_texture_normal_face
 from rendernet_tpu.models.shader import ShaderConfig
 from rendernet_tpu.models.texture_face import TextureFaceConfig
-from rendernet_tpu.train.checkpoint import save_checkpoint, save_params_npz
+from rendernet_tpu.train.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+    save_params_npz,
+)
 from rendernet_tpu.train.config import TrainConfig
 from rendernet_tpu.train.distributed import make_mesh, replicate, shard_batch
 from rendernet_tpu.train.steps import (
@@ -36,6 +40,16 @@ from rendernet_tpu.train.steps import (
 from rendernet_tpu.utils.image import save_image, to_uint8
 
 __all__ = ["train_shader", "train_texture"]
+
+
+def _maybe_resume(ckpt_dir: str, state, run):
+    """Crash-resume: restore the last checkpoint if one exists in the run
+    dir (parity with tf.train.Supervisor's auto-restore,
+    RenderNet_Shader.py:179-187)."""
+    if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+        state = restore_checkpoint(ckpt_dir, state)
+        run.log(resumed_at_step=int(state.step))
+    return state
 
 
 def _auto_mesh(cfg: TrainConfig):
@@ -84,6 +98,8 @@ def train_shader(
     run = _RunDir(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     state, tx = create_shader_state(rng, model_cfg, cfg)
+    ckpt_dir = os.path.join(run.root, cfg.trained_model_name)
+    state = _maybe_resume(ckpt_dir, state, run)
     mesh = _auto_mesh(cfg) if use_mesh else None
     if mesh is not None:
         state = replicate(mesh, state)
@@ -92,7 +108,6 @@ def train_shader(
     step_key = jax.random.PRNGKey(cfg.seed + 1)
     global_step = int(state.step)
     last_ckpt = time.time()
-    ckpt_dir = os.path.join(run.root, cfg.trained_model_name)
 
     for epoch in range(cfg.max_epochs):
         patch = cfg.patch_size_for_epoch(epoch)
@@ -135,6 +150,10 @@ def train_shader(
                     )
                 if time.time() - last_ckpt > cfg.checkpoint_secs:
                     save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
+                    save_params_npz(
+                        os.path.join(run.root, "params_latest.npz"),
+                        jax.tree.map(np.asarray, state.params),
+                    )
                     last_ckpt = time.time()
                 if max_steps is not None and global_step >= max_steps:
                     save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
@@ -181,6 +200,8 @@ def train_texture(
     run = _RunDir(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     state, tx = create_texture_state(rng, model_cfg, cfg)
+    ckpt_dir = os.path.join(run.root, cfg.trained_model_name)
+    state = _maybe_resume(ckpt_dir, state, run)
     mesh = _auto_mesh(cfg) if use_mesh else None
     if mesh is not None:
         state = replicate(mesh, state)
@@ -188,7 +209,6 @@ def train_texture(
     step_key = jax.random.PRNGKey(cfg.seed + 1)
     global_step = int(state.step)
     last_ckpt = time.time()
-    ckpt_dir = os.path.join(run.root, cfg.trained_model_name)
 
     for epoch in range(cfg.max_epochs):
         patch = cfg.patch_size_for_epoch(epoch)
@@ -228,6 +248,10 @@ def train_texture(
                     run.log(step=global_step, epoch=epoch, loss=float(loss))
                 if time.time() - last_ckpt > cfg.checkpoint_secs:
                     save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
+                    save_params_npz(
+                        os.path.join(run.root, "params_latest.npz"),
+                        jax.tree.map(np.asarray, state.params),
+                    )
                     last_ckpt = time.time()
                 if max_steps is not None and global_step >= max_steps:
                     save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))

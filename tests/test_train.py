@@ -128,3 +128,18 @@ def test_config_roundtrip(tmp_path):
     cfg.to_json(str(out))
     cfg2 = TrainConfig.from_json(str(out))
     assert cfg2 == cfg
+
+
+def test_checkpoint_roundtrip_trainstate(tmp_path):
+    from rendernet_tpu.train import restore_checkpoint, save_checkpoint
+
+    state, _ = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, TINY)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    restored = restore_checkpoint(path, state)
+    assert type(restored).__name__ == "TrainState"
+    assert int(restored.step) == int(state.step)
+    k = "encoder/e_conv1/e_conv1/weights"
+    np.testing.assert_array_equal(
+        np.asarray(state.params[k]), np.asarray(restored.params[k])
+    )
