@@ -127,7 +127,7 @@ def data_loader(
             names.append(img_name)
             with open(_binvox_for_image(img_name, model_path), "rb") as f:
                 mods[idx] = np.reshape(
-                    binvox_rw.read_as_3d_array(f).data.astype(np.float32),
+                    binvox_rw.decode_bytes(f.read()).astype(np.float32),
                     (voxel_res, voxel_res, voxel_res, 1),
                 )
             counter += 1
@@ -195,7 +195,7 @@ def data_loader_image_texture_normal_face(
             names.append(img_name)
             with open(os.path.join(model_path, ident + ".binvox"), "rb") as f:
                 mods[idx] = np.reshape(
-                    binvox_rw.read_as_3d_array(f).data.astype(np.float32),
+                    binvox_rw.decode_bytes(f.read()).astype(np.float32),
                     (voxel_res, voxel_res, voxel_res, 1),
                 )
             counter += 1

@@ -29,7 +29,21 @@ __all__ = [
     "write",
     "save_binvox",
     "load_binvox",
+    "decode_bytes",
 ]
+
+
+def decode_bytes(buf: bytes) -> np.ndarray:
+    """Decode binvox bytes to a dense bool array, preferring the native C++
+    codec (io/native.py) and falling back to the numpy path."""
+    from rendernet_tpu.io import native
+
+    if native.available():
+        try:
+            return native.decode(buf)
+        except ValueError:
+            pass  # malformed for the strict native parser; let numpy try
+    return read_as_3d_array(_io.BytesIO(buf)).data
 
 
 @dataclasses.dataclass

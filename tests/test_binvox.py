@@ -83,3 +83,36 @@ def test_coord_array(rng):
         coords = binvox.read_as_coord_array(f)
     rebuilt = binvox.sparse_to_dense(coords.data, coords.dims)
     np.testing.assert_array_equal(dense.data, rebuilt)
+
+
+def test_native_codec_parity():
+    """Native C++ codec (when buildable) matches the numpy codec exactly."""
+    import pytest
+
+    from rendernet_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    with open("/root/reference/binvox/chair.binvox", "rb") as f:
+        buf = f.read()
+    import io as _io
+
+    ref = binvox.read_as_3d_array(_io.BytesIO(buf)).data
+    np.testing.assert_array_equal(native.decode(buf), ref)
+    dims, trans, scale = native.decode_header(buf)
+    enc = native.encode(ref, trans, scale)
+    np.testing.assert_array_equal(
+        binvox.read_as_3d_array(_io.BytesIO(enc)).data, ref
+    )
+    batch = native.decode_batch([buf] * 4, dims)
+    assert batch.shape == (4, 64, 64, 64)
+    np.testing.assert_array_equal(batch[0].astype(bool), ref)
+
+
+def test_decode_bytes_helper():
+    with open("/root/reference/binvox/chair.binvox", "rb") as f:
+        buf = f.read()
+    import io as _io
+
+    ref = binvox.read_as_3d_array(_io.BytesIO(buf)).data
+    np.testing.assert_array_equal(binvox.decode_bytes(buf), ref)
