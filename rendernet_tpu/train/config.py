@@ -56,6 +56,12 @@ class TrainConfig:
     # gather path elsewhere; "exact" forces direct trilinear (bit-parity
     # with the reference); "multipass" forces the fast path.
     resample: str = "auto"
+    # Profiling: when profile_dir is set, a jax.profiler trace of steps
+    # [profile_start_step, profile_start_step + profile_steps) is written
+    # there (view with TensorBoard / xprof).
+    profile_dir: str = ""
+    profile_start_step: int = 10
+    profile_steps: int = 5
     data_parallel: Optional[int] = None  # None = all local devices
     new_size: int = 128
     seed: int = 0

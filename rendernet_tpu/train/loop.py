@@ -42,6 +42,18 @@ from rendernet_tpu.utils.image import save_image, to_uint8
 __all__ = ["train_shader", "train_texture"]
 
 
+def _profile_window(cfg: TrainConfig, global_step: int) -> None:
+    """Start/stop a jax.profiler trace around the configured step window
+    (observability upgrade over the reference's wall-clock prints,
+    SURVEY.md section 5)."""
+    if not cfg.profile_dir:
+        return
+    if global_step == cfg.profile_start_step:
+        jax.profiler.start_trace(cfg.profile_dir)
+    elif global_step == cfg.profile_start_step + cfg.profile_steps:
+        jax.profiler.stop_trace()
+
+
 def _maybe_resume(ckpt_dir: str, state, run):
     """Crash-resume: restore the last checkpoint if one exists in the run
     dir (parity with tf.train.Supervisor's auto-restore,
@@ -135,6 +147,7 @@ def train_shader(
                 )
                 if mesh is not None:
                     batch = shard_batch(mesh, batch)
+                _profile_window(cfg, global_step)
                 state, loss = step_fn(state, *batch, step_key)
                 global_step += 1
                 if progress is not None:
@@ -240,6 +253,7 @@ def train_texture(
                 )
                 if mesh is not None:
                     batch = shard_batch(mesh, batch)
+                _profile_window(cfg, global_step)
                 state, loss = step_fn(state, *batch, step_key)
                 global_step += 1
                 if progress is not None:
