@@ -33,6 +33,7 @@ from rendernet_tpu.models.decoders import (
     shape_decoder_3d,
 )
 from rendernet_tpu.nn.layers import Module, Params
+from rendernet_tpu.ops.pallas_resample import rotate_resample_to_camera_multipass
 from rendernet_tpu.ops.phong import generate_light_pos, phong_composite
 from rendernet_tpu.ops.resample import rotate_resample_to_camera
 
@@ -65,6 +66,8 @@ class ReconConfig:
     ambient: float = 0.0
     k_diffuse: float = 1.0
     new_size: int = 128
+    # "auto": fast multipass Pallas warp on TPU, exact trilinear elsewhere.
+    resample: str = "auto"
     # Initial coarse-to-fine pose search ranges, degrees (:455-456).
     phi_range0: float = 60.0
     theta_range0: float = 30.0
@@ -101,8 +104,16 @@ def recon_forward(
 
     light_dir = generate_light_pos(latents.light, cfg.light_elevation, b)
 
-    shape_cam = rotate_resample_to_camera(shape, latents.pose, new_size=cfg.new_size)
-    tex_cam = rotate_resample_to_camera(tex, latents.pose, new_size=cfg.new_size)
+    method = cfg.resample
+    if method == "auto":
+        method = "multipass" if jax.default_backend() == "tpu" else "exact"
+    warp = (
+        rotate_resample_to_camera_multipass
+        if method == "multipass"
+        else rotate_resample_to_camera
+    )
+    shape_cam = warp(shape, latents.pose, new_size=cfg.new_size)
+    tex_cam = warp(tex, latents.pose, new_size=cfg.new_size)
     both = jnp.concatenate([shape_cam, tex_cam], axis=4)
 
     mr = Module(params=model.renderer)
