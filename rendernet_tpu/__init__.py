@@ -49,7 +49,11 @@ from rendernet_tpu.ops.transforms import (
     silhouette,
     voxel_to_image_axes,
 )
-from rendernet_tpu import models
+from rendernet_tpu import compat, data, models, recon, train
+from rendernet_tpu.ops.pallas_resample import (
+    rotate_resample_multipass,
+    rotate_resample_to_camera_multipass,
+)
 from rendernet_tpu.utils.image import decode_image, encode_png, save_image, to_uint8
 
 __all__ = [
@@ -90,6 +94,12 @@ __all__ = [
     "silhouette",
     "voxel_to_image_axes",
     "models",
+    "compat",
+    "data",
+    "recon",
+    "train",
+    "rotate_resample_multipass",
+    "rotate_resample_to_camera_multipass",
     "decode_image",
     "encode_png",
     "save_image",

@@ -6,9 +6,11 @@ from rendernet_tpu.io.binvox import (
     read_as_coord_array,
     save_binvox,
 )
+from rendernet_tpu.io import native
 from rendernet_tpu.io.tar_archive import NpyTarReader, NpyTarWriter
 
 __all__ = [
+    "native",
     "binvox",
     "Voxels",
     "load_binvox",

@@ -100,19 +100,6 @@ def _shear_steps(plane: Tuple[int, int], theta, center: float) -> List:
     return [shear(u, v, t2), shear(v, u, sn), shear(u, v, t2)]
 
 
-def _plane_matrix(plane: Tuple[int, int], theta) -> jnp.ndarray:
-    """[B,3,3] R2D(theta) embedded in 3-space on ``plane``."""
-    u, v = plane
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    b = c.shape[0]
-    m = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (b, 1, 1))
-    m = m.at[:, u, u].set(c)
-    m = m.at[:, u, v].set(-s)
-    m = m.at[:, v, u].set(s)
-    m = m.at[:, v, v].set(c)
-    return m
-
-
 _QTURN_LIN = {
     # plane -> 4 quarter-turn linear 3x3s (k = 0..3), R2D(k*90) on plane.
     (0, 2): [

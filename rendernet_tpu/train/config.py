@@ -63,6 +63,7 @@ class TrainConfig:
     profile_start_step: int = 10
     profile_steps: int = 5
     data_parallel: Optional[int] = None  # None = all local devices
+    nan_guard: bool = True  # halt with a clear error on non-finite loss
     new_size: int = 128
     seed: int = 0
 
@@ -103,10 +104,10 @@ class TrainConfig:
     def validate(self) -> None:
         if self.batch_size < 1:
             raise ValueError("batch_size must be >= 1")
-        if self.img_res % self.new_size != 0:
+        if self.img_res != 4 * self.new_size:
             raise ValueError(
-                f"img_res ({self.img_res}) must be a multiple of the camera "
-                f"grid size ({self.new_size})"
+                f"img_res ({self.img_res}) must be 4x the camera grid size "
+                f"({self.new_size}): the decoder chain upsamples exactly 4x"
             )
         if not 0.0 < self.keep_prob <= 1.0:
             raise ValueError("keep_prob must be in (0, 1]")

@@ -150,6 +150,12 @@ def train_shader(
                 _profile_window(cfg, global_step)
                 state, loss = step_fn(state, *batch, step_key)
                 global_step += 1
+                if cfg.nan_guard and not np.isfinite(float(loss)):
+                    run.log(step=global_step, epoch=epoch, loss=float(loss),
+                            event="non_finite_loss")
+                    raise FloatingPointError(
+                        f"non-finite loss {float(loss)} at step {global_step}"
+                    )
                 if progress is not None:
                     progress(global_step, float(loss))
                 if global_step % cfg.sample_every_steps == 0:
@@ -256,6 +262,12 @@ def train_texture(
                 _profile_window(cfg, global_step)
                 state, loss = step_fn(state, *batch, step_key)
                 global_step += 1
+                if cfg.nan_guard and not np.isfinite(float(loss)):
+                    run.log(step=global_step, epoch=epoch, loss=float(loss),
+                            event="non_finite_loss")
+                    raise FloatingPointError(
+                        f"non-finite loss {float(loss)} at step {global_step}"
+                    )
                 if progress is not None:
                     progress(global_step, float(loss))
                 if global_step % cfg.sample_every_steps == 0:

@@ -143,3 +143,16 @@ def test_checkpoint_roundtrip_trainstate(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(state.params[k]), np.asarray(restored.params[k])
     )
+
+
+def test_train_step_deterministic(rng):
+    """Same state/batch/key -> identical loss (no hidden nondeterminism)."""
+    vox, images, poses = _tiny_batch(rng)
+    key = jax.random.PRNGKey(5)
+    losses = []
+    for _ in range(2):
+        state, tx = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, TINY)
+        step = make_shader_train_step(TINY_MODEL, TINY, tx, patch_size=8)
+        _, loss = step(state, vox, images, poses, key)
+        losses.append(float(loss))
+    assert losses[0] == losses[1]
