@@ -21,19 +21,30 @@ from rendernet_tpu.utils.image import encode_png, to_uint8
 __all__ = ["make_synthetic_shader_tar", "synthetic_face_dataset"]
 
 
+_SIL_FN = {}
+
+
 def _render_silhouette(vox: np.ndarray, pose: np.ndarray, img_res: int) -> np.ndarray:
     """Render a [0,255] greyscale silhouette target with the framework ops."""
+    import jax
     import jax.numpy as jnp
 
     from rendernet_tpu.ops.resample import rotate_resample_to_camera
     from rendernet_tpu.ops.transforms import silhouette
 
-    cam = rotate_resample_to_camera(
+    # jit (cached per process): eager dispatch is pathological on remote
+    # backends and needlessly slow everywhere else.
+    if "f" not in _SIL_FN:
+        _SIL_FN["f"] = jax.jit(
+            lambda v, p: silhouette(
+                rotate_resample_to_camera(v, p, new_size=128)
+            )
+        )
+    cam_sil = _SIL_FN["f"](
         jnp.asarray(vox[None, :, :, :, None], jnp.float32),
         jnp.asarray(pose[None], jnp.float32),
-        new_size=128,
     )
-    sil = np.asarray(silhouette(cam))[0, :, :, 0]
+    sil = np.asarray(cam_sil)[0, :, :, 0]
     # Nearest-neighbour upsample 128 -> img_res.
     factor = img_res // sil.shape[0]
     if factor > 1:

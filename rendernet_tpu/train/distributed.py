@@ -15,7 +15,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "data_sharding", "shard_batch", "replicate"]
+__all__ = ["make_mesh", "data_sharding", "spatial_sharding", "shard_batch", "replicate"]
 
 
 def make_mesh(
@@ -39,6 +39,16 @@ def make_mesh(
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard axis 0 (batch) over 'data'; everything else replicated."""
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def spatial_sharding(mesh: Mesh, ndim: int, axis: int = 1) -> NamedSharding:
+    """Shard a spatial axis over 'model' — the long-context analog for this
+    workload (SURVEY.md section 5): the voxel grid / image rows split across
+    devices and XLA inserts halo exchanges for the convolution stacks.
+    Raises the per-chip memory ceiling for higher-than-128^3 resolutions."""
+    spec = [None] * ndim
+    spec[axis] = "model"
+    return NamedSharding(mesh, P(*spec))
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:

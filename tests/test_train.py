@@ -156,3 +156,26 @@ def test_train_step_deterministic(rng):
         _, loss = step(state, vox, images, poses, key)
         losses.append(float(loss))
     assert losses[0] == losses[1]
+
+
+def test_spatially_sharded_inference_matches_local(rng):
+    """Sharding the camera grid's row axis over an 8-device 'model' mesh
+    (XLA halo exchange through the conv stacks) must not change results."""
+    from rendernet_tpu.models.shader import init_shader_params, shader_rendernet
+    from rendernet_tpu.nn.layers import Module
+    from rendernet_tpu.train.distributed import make_mesh, replicate, spatial_sharding
+
+    cfg = TINY_MODEL
+    params = init_shader_params(jax.random.PRNGKey(0), cfg)
+    vox = jnp.asarray(rng.random((1, 32, 32, 32, 1)).astype(np.float32))
+    mesh = make_mesh(n_data=1, n_model=8)
+
+    def net(p, v):
+        return shader_rendernet(Module(params=p), v, cfg)
+
+    out_local = jax.jit(net)(params, vox)
+    vox_sharded = jax.device_put(vox, spatial_sharding(mesh, 5, axis=1))
+    out_sharded = jax.jit(net)(replicate(mesh, params), vox_sharded)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded), np.asarray(out_local), atol=1e-5
+    )
