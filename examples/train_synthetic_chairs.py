@@ -56,7 +56,8 @@ def main():
         batches_chunk=2,
         img_res=args.img_res,
         new_size=args.img_res // 4,
-        e_eta=2e-4,
+        e_eta=3e-5,
+        curriculum_epochs=10_000,  # stay on the 32-patch (single jit specialization)
         max_epochs=1000,
         sample_save=os.path.join(args.out, "run"),
         sample_every_steps=20,

@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--render_dir", type=str, default="./render")
     p.add_argument("--rotate", action="store_true",
                    help="render a full 360-degree azimuth sweep (step 5)")
+    p.add_argument("--gif", type=str, default="",
+                   help="with --rotate: also write the sweep as a GIF here")
     p.add_argument("--weights", type=str, default="",
                    help=".npz params file or reference *.txt.npz weight dir")
     p.add_argument("--out_channels", type=int, default=3,
@@ -58,7 +60,7 @@ def main(argv=None):
     from rendernet_tpu.io import binvox as binvox_rw
     from rendernet_tpu.models.shader import ShaderConfig, init_shader_params, shader_forward
     from rendernet_tpu.ops.phong import np_generate_light_pos, np_phong_composite
-    from rendernet_tpu.utils.image import save_image, to_uint8
+    from rendernet_tpu.utils.image import save_gif, save_image, to_uint8
 
     cfg = ShaderConfig(out_channels=args.out_channels)
     if args.weights:
@@ -104,10 +106,16 @@ def main(argv=None):
         path = os.path.join(args.render_dir, name)
         save_image(to_uint8(img, 255.0), path)
         print(path)
+        return img
 
     if args.rotate:
-        for count, azimuth in enumerate(np.arange(0.0, 360.0, 5.0)):
+        frames = [
             render_one(float(azimuth), count)
+            for count, azimuth in enumerate(np.arange(0.0, 360.0, 5.0))
+        ]
+        if args.gif:
+            save_gif([to_uint8(f, 255.0) for f in frames], args.gif)
+            print(args.gif)
     else:
         render_one(args.azimuth, 0)
 

@@ -13,7 +13,7 @@ try:
 except ImportError:  # pragma: no cover - PIL is in the base image
     _HAVE_PIL = False
 
-__all__ = ["decode_image", "encode_png", "save_image", "to_uint8"]
+__all__ = ["decode_image", "encode_png", "save_image", "save_gif", "to_uint8"]
 
 
 def _require_pil():
@@ -52,3 +52,19 @@ def save_image(img: np.ndarray, path: str) -> None:
     """Save an array as an image file; floats in [0,1] are rescaled."""
     with open(path, "wb") as f:
         f.write(encode_png(img))
+
+
+def save_gif(frames, path: str, fps: float = 12.0) -> None:
+    """Save a sequence of HW/HWC frames as an animated GIF (the reference
+    README's result format)."""
+    _require_pil()
+    imgs = []
+    for frame in frames:
+        arr = np.asarray(frame)
+        if arr.dtype != np.uint8:
+            arr = to_uint8(arr, scale=255.0 if arr.max() <= 1.5 else None)
+        imgs.append(Image.fromarray(np.squeeze(arr)))
+    imgs[0].save(
+        path, save_all=True, append_images=imgs[1:],
+        duration=int(1000 / fps), loop=0,
+    )

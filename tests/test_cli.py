@@ -64,3 +64,24 @@ def test_convert_npz_refdir_roundtrip(tmp_path):
     refdir = str(tmp_path / "refdir")
     convert.main(["npz-to-refdir", src, refdir])
     assert "g_zP_g_gc1_weights.txt.npz" in os.listdir(refdir)
+
+
+def test_demo_rotate_gif(tmp_path):
+    out = str(tmp_path / "render")
+    gif = str(tmp_path / "sweep.gif")
+    # monkeypatch the sweep to 3 frames for speed
+    import numpy as np
+
+    orig = np.arange
+    demo_args = [
+        "--voxel_path", os.path.join(ASSETS, "chair.binvox"),
+        "--render_dir", out, "--out_channels", "1",
+        "--rotate", "--gif", gif,
+    ]
+    import unittest.mock as mock
+
+    with mock.patch.object(np, "arange", lambda *a, **k: orig(0.0, 30.0, 10.0)
+                           if len(a) == 3 and a[1] == 360.0 else orig(*a, **k)):
+        demo.main(demo_args)
+    assert os.path.exists(gif)
+    assert len([f for f in os.listdir(out) if f.endswith(".png")]) == 3
