@@ -24,6 +24,7 @@ def main():
     p.add_argument("--steps", type=int, default=60)
     p.add_argument("--out", type=str, default="/tmp/rendernet_demo_run")
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--img-res", type=int, default=512,
                    help="must be 4x the camera grid (128)")
     args = p.parse_args()
@@ -56,7 +57,7 @@ def main():
         batches_chunk=2,
         img_res=args.img_res,
         new_size=args.img_res // 4,
-        e_eta=3e-5,
+        e_eta=args.lr,
         curriculum_epochs=10_000,  # stay on the 32-patch (single jit specialization)
         max_epochs=1000,
         sample_save=os.path.join(args.out, "run"),

@@ -1,4 +1,8 @@
-from rendernet_tpu.ops import crops, phong, resample, transforms
+from rendernet_tpu.ops import crops, pallas_resample, phong, resample, transforms
+from rendernet_tpu.ops.pallas_resample import (
+    rotate_resample_multipass,
+    rotate_resample_to_camera_multipass,
+)
 from rendernet_tpu.ops.resample import (
     affine_resample,
     rotate_resample,
@@ -15,6 +19,9 @@ from rendernet_tpu.ops.transforms import (
 
 __all__ = [
     "crops",
+    "pallas_resample",
+    "rotate_resample_multipass",
+    "rotate_resample_to_camera_multipass",
     "phong",
     "resample",
     "transforms",

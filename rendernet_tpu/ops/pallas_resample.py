@@ -330,6 +330,12 @@ def apply_interp_pass(vol: jnp.ndarray, params: jnp.ndarray, db: int):
     zero (the exact path's zero-padding semantics).
     """
     bc, r, lanes = vol.shape
+    if r % _BLK:
+        raise ValueError(
+            f"row count {r} (= product of the two non-pass grid axes) must "
+            f"be a multiple of the kernel block {_BLK}; use power-of-two "
+            f"grid sizes >= 32"
+        )
     kern = functools.partial(_fwd_kernel, db=db, lanes=lanes)
     return _pass_call(kern, 1, vol, params)
 
