@@ -154,3 +154,24 @@ def test_dropout_active_only_in_train_mode():
     m_train = Module(params=params, train=True, dropout_rng=jax.random.PRNGKey(7))
     out_train = shader_rendernet(m_train, vox, cfg)
     assert not np.allclose(np.asarray(out_train), np.asarray(out_eval_1))
+
+
+def test_remat_preserves_values_and_grads():
+    cfg = ShaderConfig(new_size=32)
+    cfg_r = ShaderConfig(new_size=32, remat=True)
+    params = init_shader_params(jax.random.PRNGKey(0), cfg)
+    vox = jnp.asarray(
+        np.random.default_rng(3).random((1, 8, 8, 32, 1)).astype(np.float32)
+    )
+
+    def loss(p, c):
+        m = Module(params=p)
+        return jnp.sum(shader_rendernet(m, vox, c) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, cfg))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, cfg_r))(params)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+    k = "encoder/res2_5/con1_3X3/weights"
+    np.testing.assert_allclose(
+        np.asarray(g0[k]), np.asarray(g1[k]), rtol=2e-3, atol=1e-6
+    )  # recompute changes XLA fusion order slightly
