@@ -86,6 +86,18 @@ def _resample_patch(voxels, poses, offsets, patch_size, cfg: TrainConfig):
     )
 
 
+def _as_f32_image(images):
+    """Accept uint8 [0,255] (compact host->device feed — 4x less interconnect
+    traffic, lossless for PNG-derived data) or float [0,1]."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
+def _as_f32(x):
+    return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+
+
 def shader_loss_from_images(
     pred: jnp.ndarray, target: jnp.ndarray, greyscale: bool
 ) -> jnp.ndarray:
@@ -127,6 +139,8 @@ def make_shader_train_step(
     greyscale = cfg.is_greyscale
 
     def loss_fn(params, voxels, images, poses, rng):
+        voxels = _as_f32(voxels)
+        images = _as_f32_image(images)
         crop_rng, drop_rng = jax.random.split(rng)
         if patch_size == cfg.new_size:
             vox_c = _resample_full(voxels, poses, cfg)
@@ -158,7 +172,7 @@ def make_shader_eval_step(model_cfg: ShaderConfig, cfg: TrainConfig):
     cdt = _dtype(cfg.compute_dtype)
 
     def step(params, voxels, poses):
-        cam = _resample_full(voxels, poses, cfg)
+        cam = _resample_full(_as_f32(voxels), poses, cfg)
         m = Module(params=params, compute_dtype=cdt)
         return shader_rendernet(m, cam.astype(cdt), model_cfg)
 
@@ -189,6 +203,9 @@ def make_texture_train_step(
     cdt = _dtype(cfg.compute_dtype)
 
     def loss_fn(params, voxels, images, normals, textures, poses, rng):
+        voxels = _as_f32(voxels)
+        images = _as_f32_image(images)
+        normals = _as_f32_image(normals)
         crop_rng, drop_rng = jax.random.split(rng)
         m = Module(params=params, compute_dtype=cdt, train=True, dropout_rng=drop_rng)
         tex_grid = texture_decoder(m, textures.astype(cdt)).astype(jnp.float32)
