@@ -63,6 +63,7 @@ def main():
         sample_save=os.path.join(args.out, "run"),
         sample_every_steps=20,
         checkpoint_secs=600,
+        cache_chunks=True,  # tiny deterministic dataset: keep it on-device
     )
     model_cfg = ShaderConfig()
 

@@ -64,6 +64,9 @@ class TrainConfig:
     profile_steps: int = 5
     data_parallel: Optional[int] = None  # None = all local devices
     nan_guard: bool = True  # halt with a clear error on non-finite loss
+    # Cache device-resident batches across epochs (small, deterministic
+    # datasets only — eliminates repeat host->device transfers entirely).
+    cache_chunks: bool = False
     new_size: int = 128
     seed: int = 0
 

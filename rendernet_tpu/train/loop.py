@@ -118,6 +118,7 @@ def train_shader(
     step_key = jax.random.PRNGKey(cfg.seed + 1)
     global_step = int(state.step)
     last_ckpt = time.time()
+    chunk_cache = {}  # (chunk, batch) -> device arrays, when cfg.cache_chunks
 
     for epoch in range(cfg.max_epochs):
         patch = cfg.patch_size_for_epoch(epoch)
@@ -133,21 +134,28 @@ def train_shader(
             img_res=cfg.img_res,
             voxel_res=cfg.voxel_res,
         )
-        for images, voxels, poses, names in loader:
+        for chunk_idx, (images, voxels, poses, names) in enumerate(loader):
             # compact uint8 feed: 4x less host->device traffic (lossless);
             # the jitted step casts/normalizes on device.
-            images_u8 = np.clip(images, 0, 255).astype(np.uint8)
-            voxels_u8 = voxels.astype(np.uint8)
             n_batches = len(images) // cfg.batch_size
+            images_u8 = voxels_u8 = None
             for i in range(n_batches):
-                sl = slice(i * cfg.batch_size, (i + 1) * cfg.batch_size)
-                batch = (
-                    jnp.asarray(voxels_u8[sl]),
-                    jnp.asarray(images_u8[sl]),
-                    jnp.asarray(poses[sl]),
-                )
-                if mesh is not None:
-                    batch = shard_batch(mesh, batch)
+                if cfg.cache_chunks and (chunk_idx, i) in chunk_cache:
+                    batch = chunk_cache[(chunk_idx, i)]
+                else:
+                    if images_u8 is None:
+                        images_u8 = np.clip(images, 0, 255).astype(np.uint8)
+                        voxels_u8 = voxels.astype(np.uint8)
+                    sl = slice(i * cfg.batch_size, (i + 1) * cfg.batch_size)
+                    batch = (
+                        jnp.asarray(voxels_u8[sl]),
+                        jnp.asarray(images_u8[sl]),
+                        jnp.asarray(poses[sl]),
+                    )
+                    if mesh is not None:
+                        batch = shard_batch(mesh, batch)
+                    if cfg.cache_chunks:
+                        chunk_cache[(chunk_idx, i)] = batch
                 _profile_window(cfg, global_step)
                 state, loss = step_fn(state, *batch, step_key)
                 global_step += 1
