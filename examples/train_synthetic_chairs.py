@@ -58,7 +58,8 @@ def main():
         img_res=args.img_res,
         new_size=args.img_res // 4,
         e_eta=args.lr,
-        curriculum_epochs=10_000,  # stay on the 32-patch (single jit specialization)
+        curriculum_epochs=0,  # 64-patches from the start (32-crops are mostly
+        # empty background on sparse silhouette data and bias the net black)
         max_epochs=1000,
         sample_save=os.path.join(args.out, "run"),
         sample_every_steps=20,

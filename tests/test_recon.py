@@ -52,6 +52,13 @@ def model():
     return _tiny_model()
 
 
+@pytest.fixture(scope="module")
+def single_step(model):
+    """One compiled single-step optimizer shared across tests (compiling the
+    3-network pipeline dominates this file's runtime)."""
+    return make_recon_step(model, CFG)
+
+
 def test_create_param_center_matches_reference_semantics():
     p = create_param_center(phi_mid=270, phi_range=60, theta_mid=90, theta_range=30)
     assert p.shape == (5, 3)
@@ -72,9 +79,9 @@ def test_recon_forward_shapes(model):
     assert np.isfinite(np.asarray(compos)).all()
 
 
-def test_recon_step_only_updates_latents_and_decreases_loss(model):
+def test_recon_step_only_updates_latents_and_decreases_loss(model, single_step):
     target = jnp.full((5, 128, 128, 3), 0.4, jnp.float32)
-    step = make_recon_step(model, CFG)
+    step = single_step
     latents = initial_latents(CFG)
     l0 = None
     for i in range(6):
@@ -86,10 +93,10 @@ def test_recon_step_only_updates_latents_and_decreases_loss(model):
     assert lN.mean() < l0.mean()
 
 
-def test_recon_scan_matches_stepwise(model):
+def test_recon_scan_matches_stepwise(model, single_step):
     target = jnp.full((5, 128, 128, 3), 0.4, jnp.float32)
     run = make_recon_step(model, CFG, scan_steps=3)
-    step = make_recon_step(model, CFG)
+    step = single_step
     latents0 = initial_latents(CFG)
     scan_latents, scan_losses = run(latents0, target)
     latents = latents0
