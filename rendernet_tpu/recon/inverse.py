@@ -143,9 +143,14 @@ def make_recon_step(model: ReconModel, cfg: ReconConfig, scan_steps: Optional[in
     With ``scan_steps``: the whole inner loop runs as a lax.scan in one
     launch, returning (latents, loss history [T, B]).
     Per-group learning rates follow the reference's 4-optimizer split.
+
+    The frozen model parameters are jit ARGUMENTS (bound via the returned
+    closure), not trace-time constants — closing over ~30M weights would
+    bake them into the HLO, bloating compiles (and overflowing remote-
+    compile transports).
     """
 
-    def one_step(target: jnp.ndarray, latents: Latents):
+    def one_step(model: ReconModel, target: jnp.ndarray, latents: Latents):
         def loss_and_aux(l):
             per = recon_per_sample_loss(model, l, target, cfg)
             return jnp.sum(per), per
@@ -164,19 +169,19 @@ def make_recon_step(model: ReconModel, cfg: ReconConfig, scan_steps: Optional[in
     if scan_steps is None:
 
         @jax.jit
-        def step(latents: Latents, target: jnp.ndarray):
-            return one_step(target, latents)
+        def step_impl(model: ReconModel, latents: Latents, target: jnp.ndarray):
+            return one_step(model, target, latents)
 
-        return step
+        return lambda latents, target: step_impl(model, latents, target)
 
     @jax.jit
-    def run(latents: Latents, target: jnp.ndarray):
+    def run_impl(model: ReconModel, latents: Latents, target: jnp.ndarray):
         return jax.lax.scan(
-            lambda carry, _: one_step(target, carry), latents, None,
+            lambda carry, _: one_step(model, target, carry), latents, None,
             length=scan_steps,
         )
 
-    return run
+    return lambda latents, target: run_impl(model, latents, target)
 
 
 def create_param_center(
