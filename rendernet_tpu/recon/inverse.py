@@ -68,6 +68,9 @@ class ReconConfig:
     new_size: int = 128
     # "auto": fast multipass Pallas warp on TPU, exact trilinear elsewhere.
     resample: str = "auto"
+    # Network compute dtype: "bfloat16" runs the frozen conv stacks on the
+    # MXU at full rate (latent updates and the loss stay fp32).
+    compute_dtype: str = "float32"
     # Initial coarse-to-fine pose search ranges, degrees (:455-456).
     phi_range0: float = 60.0
     theta_range0: float = 30.0
@@ -97,10 +100,11 @@ def recon_forward(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full differentiable pipeline -> (composite, albedo, normal, shape)."""
     b = latents.vector.shape[0]
-    md = Module(params=model.decoder)
-    shape = shape_decoder_3d(md, latents.vector)
-    mt = Module(params=model.texture)
-    tex = recon_texture_decoder(mt, latents.texture)
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    md = Module(params=model.decoder, compute_dtype=cdt)
+    shape = shape_decoder_3d(md, latents.vector.astype(cdt))
+    mt = Module(params=model.texture, compute_dtype=cdt)
+    tex = recon_texture_decoder(mt, latents.texture.astype(cdt))
 
     light_dir = generate_light_pos(latents.light, cfg.light_elevation, b)
 
@@ -113,11 +117,11 @@ def recon_forward(
         else rotate_resample_to_camera
     )
     shape_cam = warp(shape, latents.pose, new_size=cfg.new_size)
-    tex_cam = warp(tex, latents.pose, new_size=cfg.new_size)
+    tex_cam = warp(tex.astype(jnp.float32), latents.pose, new_size=cfg.new_size)
     both = jnp.concatenate([shape_cam, tex_cam], axis=4)
 
-    mr = Module(params=model.renderer)
-    albedo, normal = recon_rendernet(mr, both)
+    mr = Module(params=model.renderer, compute_dtype=cdt)
+    albedo, normal = recon_rendernet(mr, both.astype(cdt))
 
     light_col = jnp.ones((b, 3), jnp.float32)
     shading = phong_composite(
