@@ -42,6 +42,7 @@ def main(argv=None):
 
     cfg = TrainConfig.from_json(args.config)
     rcfg = ReconConfig(
+        compute_dtype="bfloat16" if jax.default_backend() == "tpu" else "float32",
         z_dim=cfg.z_dim,
         batch_size=cfg.batch_size,
         inner_steps=cfg.inner_step,
