@@ -66,6 +66,21 @@ def main(batch: int = 24):
     )
     timeit("multipass_fwd_bwd", mpg, vox, pose)
 
+    from rendernet_tpu.ops.pallas_resample import (
+        rotate_resample_camera_patch_multipass,
+    )
+
+    offs = jnp.asarray([17, 40], jnp.int32)
+    mpp = jax.jit(
+        jax.grad(
+            lambda v, p: jnp.sum(
+                rotate_resample_camera_patch_multipass(v, p, offs, 64) ** 2
+            ),
+            argnums=(0, 1),
+        )
+    )
+    timeit("multipass_patch64_fwd_bwd", mpp, vox, pose)
+
     if jax.default_backend() != "tpu":
         ex = jax.jit(lambda v, p: rotate_resample(v, p, new_size=128))
         timeit("exact_fwd", ex, vox, pose)

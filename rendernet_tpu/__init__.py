@@ -51,6 +51,7 @@ from rendernet_tpu.ops.transforms import (
 )
 from rendernet_tpu import compat, data, models, recon, train
 from rendernet_tpu.ops.pallas_resample import (
+    rotate_resample_camera_patch_multipass,
     rotate_resample_multipass,
     rotate_resample_to_camera_multipass,
 )
@@ -100,6 +101,7 @@ __all__ = [
     "train",
     "rotate_resample_multipass",
     "rotate_resample_to_camera_multipass",
+    "rotate_resample_camera_patch_multipass",
     "decode_image",
     "encode_png",
     "save_image",

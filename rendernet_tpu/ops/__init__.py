@@ -1,5 +1,6 @@
 from rendernet_tpu.ops import crops, pallas_resample, phong, resample, transforms
 from rendernet_tpu.ops.pallas_resample import (
+    rotate_resample_camera_patch_multipass,
     rotate_resample_multipass,
     rotate_resample_to_camera_multipass,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "pallas_resample",
     "rotate_resample_multipass",
     "rotate_resample_to_camera_multipass",
+    "rotate_resample_camera_patch_multipass",
     "phong",
     "resample",
     "transforms",

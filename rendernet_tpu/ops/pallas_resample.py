@@ -40,10 +40,20 @@ is required; use this path for training/throughput.
 
 DIFFERENTIABILITY: full custom VJP. The voxel adjoint of a pass is a banded
 scatter implemented as another lane-gather (tap enumeration over the
-transposed band — self-slopes stay >= ~0.7 so <= 6 taps). Pose gradients
-flow through a per-pass position cotangent emitted by the backward kernel
-and reduced against coordinate iotas at the XLA level, then through the
-(jnp-traced) plan coefficients into the pose inputs.
+transposed band). The tap count is static PER PASS: shear passes have
+self-slope exactly 1 (band width 2 -> 3 taps); only the three
+scale-carrying passes need the defensive 6 taps (valid for scales
+s <= 2, i.e. the full reference camera range radius >= 1.65). Pose
+gradients flow through a per-pass position cotangent emitted by the
+backward kernel and reduced against coordinate iotas at the XLA level,
+then through the (jnp-traced) plan coefficients into the pose inputs.
+
+CROP FUSION: for patch-curriculum training only a (P, P) window of the two
+image axes is consumed (depth never cropped — RenderNet_Shader.py:154,
+tools/model_util.py:77). The plan's LAST interp pass for each cropped
+logical axis emits only the window (the window start folds into the pass
+delta, so pose gradients still flow), and later passes run on the cropped
+row set — see rotate_resample_camera_patch_multipass.
 """
 from __future__ import annotations
 
@@ -64,11 +74,29 @@ __all__ = [
     "apply_interp_pass",
     "rotate_resample_multipass",
     "rotate_resample_to_camera_multipass",
+    "rotate_resample_camera_patch_multipass",
 ]
 
-_TAPS = 6  # adjoint band taps: slopes >= 0.5 need <= 2/0.5 + 2 = 6
+# Adjoint band taps (static per pass): the number of output lanes whose
+# interp stencil touches a given input lane is <= 2/|self_slope| + 1.
+_TAPS_SHEAR = 3  # self-slope exactly 1.0 -> band width 2 -> 3 taps covers it
+_TAPS_SCALE = 6  # self-slope 1/s; 6 taps covers s <= 2 (radius >= 1.65)
 _BLK = 1024  # rows per kernel block (tuned on v5e: 512/1024/2048 give
 # 47/44/44 ms fwd at batch 24; 2048 OOMs VMEM in the backward kernel)
+
+
+def _row_block(r: int) -> int:
+    """Largest power-of-two block <= _BLK that divides the row count."""
+    blk = _BLK
+    while blk > 8 and r % blk:
+        blk //= 2
+    if r % blk:
+        raise ValueError(
+            f"row count {r} (= product of the two non-pass grid axes) must "
+            f"be divisible by a power-of-two block >= 8; use power-of-two "
+            f"grid/patch sizes >= 32"
+        )
+    return blk
 
 
 def _on_tpu() -> bool:
@@ -96,7 +124,7 @@ def _shear_steps(plane: Tuple[int, int], theta, center: float) -> List:
         coeffs = [zero, zero, zero, -slope * center]  # delta recenters
         coeffs[axis] = one
         coeffs[other] = slope
-        return ("interp", axis, coeffs)
+        return ("interp", axis, coeffs, _TAPS_SHEAR)
 
     return [shear(u, v, t2), shear(v, u, sn), shear(u, v, t2)]
 
@@ -182,11 +210,12 @@ def build_pass_plan(
     for axis in range(3):
         coeffs = [zero, zero, zero, tau[:, axis]]
         coeffs[axis] = inv_s
-        steps.append(("interp", axis, coeffs))
+        steps.append(("interp", axis, coeffs, _TAPS_SCALE))
 
     # Merge adjacent same-axis interp passes: E1 (self-coef a1) then E2 on
     # the same axis compose (matrix product E1 @ E2) into one elementary
-    # pass with row = a1 * row2 + (row1 with self coef zeroed).
+    # pass with row = a1 * row2 + (row1 with self coef zeroed). The merged
+    # self-slope is a1 * a2, so the adjoint band is the wider of the two.
     merged: List = []
     for step in steps:
         if (
@@ -201,12 +230,12 @@ def build_pass_plan(
             row1_rest = list(prev)
             row1_rest[axis] = jnp.zeros_like(a1)
             new_row = [a1 * c2 + c1r for c2, c1r in zip(step[2], row1_rest)]
-            merged[-1] = ("interp", axis, new_row)
+            merged[-1] = ("interp", axis, new_row, max(merged[-1][3], step[3]))
         else:
             merged.append(step)
 
     return [
-        (s[0], s[1], jnp.stack(s[2], -1) if s[0] == "interp" else s[2])
+        ("interp", s[1], jnp.stack(s[2], -1), s[3]) if s[0] == "interp" else s
         for s in merged
     ]
 
@@ -239,15 +268,27 @@ def compose_plan_matrix(steps: Sequence, new_size: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # one interp pass: lane-gather kernels + custom VJP
 # ---------------------------------------------------------------------------
-def _fwd_kernel(p_ref, v_ref, o_ref, *, db: int, lanes: int):
+def _row_coords(db: int, blk: int):
+    """Per-row (d_a, d_b) as [blk, 1] columns — broadcast against any lane
+    width (rows depend only on the sublane index)."""
+    rb = pl.program_id(1)
+    rows = rb * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+    return (rows // db).astype(jnp.float32), (rows % db).astype(jnp.float32)
+
+
+def _fwd_kernel(p_ref, v_ref, o_ref, *, db: int, lanes: int, out_lanes: int, blk: int):
+    # NB Mosaic's lane-gather requires index.shape == source.shape, so all
+    # arithmetic runs at the full input width and window outputs are a
+    # static slice of the result (the VPU is lane-padded to 128 regardless;
+    # the win from a window pass is the smaller HBM write + smaller
+    # downstream row sets, not narrower vectors).
     bi = pl.program_id(0)
     al, ca, cb, de = p_ref[bi, 0], p_ref[bi, 1], p_ref[bi, 2], p_ref[bi, 3]
-    rb = pl.program_id(1)
-    rows = rb * _BLK + jax.lax.broadcasted_iota(jnp.int32, (_BLK, lanes), 0)
-    d_a = (rows // db).astype(jnp.float32)
-    d_b = (rows % db).astype(jnp.float32)
-    ll = jax.lax.broadcasted_iota(jnp.int32, (_BLK, lanes), 1).astype(jnp.float32)
-    pos = al * ll + ca * d_a + cb * d_b + de
+    d_a, d_b = _row_coords(db, blk)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (blk, lanes), 1).astype(
+        jnp.float32
+    )
+    pos = al * ll + (ca * d_a + cb * d_b + de)
     i0f = jnp.floor(pos)
     w = pos - i0f
     i0 = i0f.astype(jnp.int32)
@@ -256,22 +297,33 @@ def _fwd_kernel(p_ref, v_ref, o_ref, *, db: int, lanes: int):
     m1 = ((i0 + 1 >= 0) & (i0 + 1 <= lanes - 1)).astype(jnp.float32)
     g0 = jnp.take_along_axis(v, jnp.clip(i0, 0, lanes - 1), axis=1)
     g1 = jnp.take_along_axis(v, jnp.clip(i0 + 1, 0, lanes - 1), axis=1)
-    o_ref[0] = (1.0 - w) * g0 * m0 + w * g1 * m1
+    res = (1.0 - w) * g0 * m0 + w * g1 * m1
+    o_ref[0] = res if out_lanes == lanes else res[:, :out_lanes]
 
 
-def _bwd_kernel(p_ref, v_ref, g_ref, gv_ref, gp_ref, *, db: int, lanes: int):
+def _bwd_kernel(
+    p_ref, v_ref, g_ref, gv_ref, gp_ref, *, db: int, lanes: int,
+    out_lanes: int, taps: int, blk: int,
+):
     bi = pl.program_id(0)
     al, ca, cb, de = p_ref[bi, 0], p_ref[bi, 1], p_ref[bi, 2], p_ref[bi, 3]
-    rb = pl.program_id(1)
-    rows = rb * _BLK + jax.lax.broadcasted_iota(jnp.int32, (_BLK, lanes), 0)
-    d_a = (rows // db).astype(jnp.float32)
-    d_b = (rows % db).astype(jnp.float32)
-    ll = jax.lax.broadcasted_iota(jnp.int32, (_BLK, lanes), 1).astype(jnp.float32)
-    o_row = ca * d_a + cb * d_b + de
+    d_a, d_b = _row_coords(db, blk)
+    o_row = ca * d_a + cb * d_b + de  # [blk, 1]
     v = v_ref[0]
-    g = g_ref[0]
+    # Zero-pad the output cotangent to the input width (gather shape rule;
+    # zeros are exactly the out-of-window contribution).
+    if out_lanes == lanes:
+        g = g_ref[0]
+    else:
+        g = jnp.concatenate(
+            [g_ref[0], jnp.zeros((blk, lanes - out_lanes), jnp.float32)],
+            axis=1,
+        )
 
     # Position cotangent (drives pose grads): dout/dpos = v1*m1 - v0*m0.
+    ll = jax.lax.broadcasted_iota(jnp.int32, (blk, lanes), 1).astype(
+        jnp.float32
+    )
     pos = al * ll + o_row
     i0 = jnp.floor(pos).astype(jnp.int32)
     m0 = ((i0 >= 0) & (i0 <= lanes - 1)).astype(jnp.float32)
@@ -280,48 +332,60 @@ def _bwd_kernel(p_ref, v_ref, g_ref, gv_ref, gp_ref, *, db: int, lanes: int):
     )
     v0 = jnp.take_along_axis(v, jnp.clip(i0, 0, lanes - 1), axis=1)
     v1 = jnp.take_along_axis(v, jnp.clip(i0 + 1, 0, lanes - 1), axis=1)
-    gp_ref[0] = g * (v1 * m1 - v0 * m0)
+    gp = g * (v1 * m1 - v0 * m0)
+    gp_ref[0] = gp if out_lanes == lanes else gp[:, :out_lanes]
 
-    # Voxel adjoint: gv[i] = sum_{l in band(i)} g[l] * (1 - |pos_l - i|).
+    # Voxel adjoint: gv[i] = sum_{l in band(i)} g[l] * (1 - |pos_l - i|),
+    # l over OUTPUT lanes, i over input lanes.
     inv_al = 1.0 / al
     b1 = (ll - 1.0 - o_row) * inv_al
     b2 = (ll + 1.0 - o_row) * inv_al
     l0 = jnp.ceil(jnp.minimum(b1, b2)).astype(jnp.int32)
-    acc = jnp.zeros((_BLK, lanes), jnp.float32)
-    for t in range(_TAPS):
+    acc = jnp.zeros((blk, lanes), jnp.float32)
+    for t in range(taps):
         lt = l0 + t
         pos_t = al * lt.astype(jnp.float32) + o_row
         wgt = 1.0 - jnp.abs(pos_t - ll)
-        valid = (wgt > 0.0) & (lt >= 0) & (lt <= lanes - 1)
+        valid = (wgt > 0.0) & (lt >= 0) & (lt <= out_lanes - 1)
         gl = jnp.take_along_axis(g, jnp.clip(lt, 0, lanes - 1), axis=1)
         acc = acc + jnp.where(valid, wgt * gl, 0.0)
     gv_ref[0] = acc
 
 
-def _pass_call(kern_builder, n_out, vol, params, *extra):
+def _pass_call(kern_builder, vol, params, extras, out_widths, blk):
+    """Run a pass kernel. ``extras`` = [(arr, lane_width)] further tensor
+    inputs; ``out_widths`` = lane widths of the outputs."""
     bc, r, lanes = vol.shape
-    blocks = [
-        pl.BlockSpec((1, _BLK, lanes), lambda b, rb: (b, rb, 0),
-                     memory_space=pltpu.VMEM)
-        for _ in range(1 + len(extra))
-    ]
-    out_spec = pl.BlockSpec((1, _BLK, lanes), lambda b, rb: (b, rb, 0),
+
+    def block(width):
+        return pl.BlockSpec((1, blk, width), lambda b, rb: (b, rb, 0),
                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((bc, r, lanes), jnp.float32)
+
+    out_specs = [block(w) for w in out_widths]
+    out_shapes = [
+        jax.ShapeDtypeStruct((bc, r, w), jnp.float32) for w in out_widths
+    ]
+    single = len(out_widths) == 1
     return pl.pallas_call(
         kern_builder,
-        grid=(bc, r // _BLK),
+        grid=(bc, r // blk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM)  # full [BC, 4] params
-        ] + blocks,
-        out_specs=out_spec if n_out == 1 else [out_spec] * n_out,
-        out_shape=out_shape if n_out == 1 else [out_shape] * n_out,
+        ] + [block(lanes)] + [block(w) for _, w in extras],
+        out_specs=out_specs[0] if single else out_specs,
+        out_shape=out_shapes[0] if single else out_shapes,
         interpret=not _on_tpu(),
-    )(params, vol, *extra)
+    )(params, vol, *(a for a, _ in extras))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def apply_interp_pass(vol: jnp.ndarray, params: jnp.ndarray, db: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def apply_interp_pass(
+    vol: jnp.ndarray,
+    params: jnp.ndarray,
+    db: int,
+    taps: int = _TAPS_SCALE,
+    out_lanes: int | None = None,
+):
     """Differentiable 1-D interp pass along the minor axis.
 
     ``vol`` [BC, R, L] with rows encoding the two non-pass coords as
@@ -329,31 +393,39 @@ def apply_interp_pass(vol: jnp.ndarray, params: jnp.ndarray, db: int):
     the sample position for lane l of row (d_a, d_b) is
     alpha*l + c_a*d_a + c_b*d_b + delta. Out-of-range positions contribute
     zero (the exact path's zero-padding semantics).
+
+    ``taps``: static adjoint band width; must be >= 2/|alpha| + 1.
+    ``out_lanes``: emit only output lanes [0, out_lanes) — window crops are
+    expressed by folding ``alpha * window_start`` into ``delta``.
     """
     bc, r, lanes = vol.shape
-    if r % _BLK:
-        raise ValueError(
-            f"row count {r} (= product of the two non-pass grid axes) must "
-            f"be a multiple of the kernel block {_BLK}; use power-of-two "
-            f"grid sizes >= 32"
-        )
-    kern = functools.partial(_fwd_kernel, db=db, lanes=lanes)
-    return _pass_call(kern, 1, vol, params)
+    blk = _row_block(r)
+    ol = lanes if out_lanes is None else out_lanes
+    kern = functools.partial(
+        _fwd_kernel, db=db, lanes=lanes, out_lanes=ol, blk=blk
+    )
+    return _pass_call(kern, vol, params, extras=[], out_widths=[ol], blk=blk)
 
 
-def _pass_fwd(vol, params, db):
-    return apply_interp_pass(vol, params, db), (vol, params)
+def _pass_fwd(vol, params, db, taps, out_lanes):
+    return apply_interp_pass(vol, params, db, taps, out_lanes), (vol, params)
 
 
-def _pass_bwd(db, res, g):
+def _pass_bwd(db, taps, out_lanes, res, g):
     vol, params = res
     bc, r, lanes = vol.shape
-    kern = functools.partial(_bwd_kernel, db=db, lanes=lanes)
-    gv, gpos = _pass_call(kern, 2, vol, params, g)
+    blk = _row_block(r)
+    ol = lanes if out_lanes is None else out_lanes
+    kern = functools.partial(
+        _bwd_kernel, db=db, lanes=lanes, out_lanes=ol, taps=taps, blk=blk
+    )
+    gv, gpos = _pass_call(
+        kern, vol, params, extras=[(g, ol)], out_widths=[lanes, ol], blk=blk
+    )
     rows = jnp.arange(r, dtype=jnp.float32)
     d_a = jnp.floor(rows / db)[None, :, None]
     d_b = (rows % db)[None, :, None]
-    ll = jnp.arange(lanes, dtype=jnp.float32)[None, None, :]
+    ll = jnp.arange(ol, dtype=jnp.float32)[None, None, :]
     gparams = jnp.stack(
         [
             jnp.sum(gpos * ll, axis=(1, 2)),
@@ -405,10 +477,18 @@ def rotate_resample_multipass(
     view_params: jnp.ndarray,
     size: int | None = None,
     new_size: int = 128,
+    crop_windows: dict | None = None,
 ) -> jnp.ndarray:
     """Fast multipass counterpart of ops.resample.rotate_resample.
 
-    ``voxels`` [B, S, S, S, C] -> [B, N, N, N, C] float32.
+    ``voxels`` [B, S, S, S, C] -> [B, N, N, N, C] float32 (destination grid
+    indexed [z, y, x] on the spatial axes, like the exact path).
+
+    ``crop_windows``: optional ``{logical_axis: (start, win_size)}`` — emit
+    only ``[start, start + win_size)`` of those destination axes (``start``
+    may be traced; ``win_size`` is static). The window is produced by the
+    axis's LAST interp pass, so later passes run on the cropped row set —
+    the fused-crop fast path for patch training.
     """
     b, s1, s2, s3, c = voxels.shape
     if size is None:
@@ -420,6 +500,18 @@ def rotate_resample_multipass(
     vol = jnp.pad(vol, ((0, 0), pw, pw, pw))
 
     steps = build_pass_plan(view_params, size=size, new_size=n)
+    crop_windows = dict(crop_windows or {})
+    last_interp = {
+        step[1]: i for i, step in enumerate(steps) if step[0] == "interp"
+    }
+    for ax in crop_windows:
+        for later in steps[last_interp[ax] + 1:]:
+            if later[0] != "interp" or later[1] == ax:
+                raise ValueError(
+                    f"axis {ax} cannot be window-cropped: the pass plan "
+                    f"touches it after its last interp pass"
+                )
+    started: dict = {}  # logical axis -> traced window start (local coords)
 
     def per_c(x):
         return jnp.repeat(x, c, axis=0) if c > 1 else x
@@ -437,28 +529,43 @@ def rotate_resample_multipass(
                 axes[arr_pos], axes[cur] = axes[cur], axes[arr_pos]
         return vol
 
-    for step in steps:
+    for i, step in enumerate(steps):
         if step[0] == "qturn":
             plane, k = step[1], per_c(step[2])
             vol = to_canonical(vol, axes)
             vol = _quarter_turn(vol, plane, k)
             continue
-        axis, coeffs = step[1], per_c(step[2])
+        axis, coeffs, taps = step[1], per_c(step[2]), step[3]
         pos = axes.index(axis)
         if pos != 2:
             vol = jnp.swapaxes(vol, pos + 1, 3)
             axes[pos], axes[2] = axes[2], axes[pos]
         a_coord, b_coord = axes[0], axes[1]
-        da, db = vol.shape[1], vol.shape[2]
+        da, db, lanes = vol.shape[1], vol.shape[2], vol.shape[3]
+        alpha = coeffs[:, axis]
+        delta = coeffs[:, 3]
+        # Row coords of already-cropped axes are window-local; shift back.
+        for coord in (a_coord, b_coord):
+            if coord in started:
+                delta = delta + coeffs[:, coord] * started[coord]
+        out_lanes = None
+        if axis in crop_windows and i == last_interp[axis]:
+            start, win = crop_windows[axis]
+            start = jnp.asarray(start, jnp.float32)
+            delta = delta + alpha * start
+            out_lanes = win
+            started[axis] = start
         params = jnp.stack(
-            [coeffs[:, axis], coeffs[:, a_coord], coeffs[:, b_coord], coeffs[:, 3]],
-            axis=-1,
+            [alpha, coeffs[:, a_coord], coeffs[:, b_coord], delta], axis=-1
         )
-        vol = apply_interp_pass(vol.reshape(b * c, da * db, n), params, db)
-        vol = vol.reshape(b * c, da, db, n)
+        vol = apply_interp_pass(
+            vol.reshape(b * c, da * db, lanes), params, db, taps, out_lanes
+        )
+        vol = vol.reshape(b * c, da, db, -1)
 
     vol = to_canonical(vol, axes)
-    return jnp.moveaxis(vol.reshape(b, c, n, n, n), 1, -1)
+    _, d1, d2, d3 = vol.shape
+    return jnp.moveaxis(vol.reshape(b, c, d1, d2, d3), 1, -1)
 
 
 def rotate_resample_to_camera_multipass(
@@ -470,4 +577,35 @@ def rotate_resample_to_camera_multipass(
     """Fast counterpart of rotate_resample_to_camera."""
     return voxel_to_image_axes(
         rotate_resample_multipass(voxels, view_params, size, new_size)
+    )
+
+
+def rotate_resample_camera_patch_multipass(
+    voxels: jnp.ndarray,
+    view_params: jnp.ndarray,
+    offsets: jnp.ndarray,
+    patch_size: int,
+    size: int | None = None,
+    new_size: int = 128,
+) -> jnp.ndarray:
+    """Crop-fused fast path: equals
+    ``rotate_resample_to_camera_multipass(...)[:, u0:u0+P, v0:v0+P]`` but the
+    final two interp passes emit only the patch window (multipass analog of
+    ops.resample.rotate_resample_camera_patch).
+
+    ``offsets``: traced int32 ``[2]`` = (u0, v0) crop starts in image-aligned
+    (row, col) axes; depth is never cropped.
+    """
+    # Image rows u map to logical y as j = N-1-u (voxel_to_image_axes flip),
+    # so the u-window [u0, u0+P) is the y-window starting at N-P-u0; image
+    # cols v map to logical z directly.
+    off = offsets.astype(jnp.float32)
+    windows = {
+        1: (jnp.float32(new_size - patch_size) - off[0], patch_size),
+        2: (off[1], patch_size),
+    }
+    return voxel_to_image_axes(
+        rotate_resample_multipass(
+            voxels, view_params, size, new_size, crop_windows=windows
+        )
     )

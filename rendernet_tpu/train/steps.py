@@ -27,8 +27,11 @@ from rendernet_tpu.models.texture_face import (
     texture_face_rendernet,
 )
 from rendernet_tpu.nn.layers import Module, Params
-from rendernet_tpu.ops.crops import crop_image, crop_voxel, random_crop_offsets
-from rendernet_tpu.ops.pallas_resample import rotate_resample_to_camera_multipass
+from rendernet_tpu.ops.crops import crop_image, random_crop_offsets
+from rendernet_tpu.ops.pallas_resample import (
+    rotate_resample_camera_patch_multipass,
+    rotate_resample_to_camera_multipass,
+)
 from rendernet_tpu.ops.resample import (
     rotate_resample_camera_patch,
     rotate_resample_to_camera,
@@ -73,14 +76,14 @@ def _resample_full(voxels, poses, cfg: TrainConfig):
 
 
 def _resample_patch(voxels, poses, offsets, patch_size, cfg: TrainConfig):
-    """Cropped camera-aligned patch. Exact path fuses the crop into the
-    gathers; multipass warps the full grid (vector-rate, still far faster)
-    and crops after."""
+    """Cropped camera-aligned patch. Both paths fuse the crop into the
+    resample: the exact path restricts the gathers to the window; the
+    multipass path emits only the window in each cropped axis's final
+    interp pass."""
     if _resample_method(cfg) == "multipass":
-        cam = rotate_resample_to_camera_multipass(
-            voxels, poses, new_size=cfg.new_size
+        return rotate_resample_camera_patch_multipass(
+            voxels, poses, offsets, patch_size, new_size=cfg.new_size
         )
-        return crop_voxel(cam, offsets, patch_size)
     return rotate_resample_camera_patch(
         voxels, poses, offsets, patch_size, new_size=cfg.new_size
     )

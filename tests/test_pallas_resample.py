@@ -160,3 +160,63 @@ def test_pose_gradient_matches_finite_differences():
             float(loss(pose0 + dp)) - float(loss(pose0 - dp))
         ) / (2 * eps)
         assert grad[axis] == pytest.approx(fd, rel=0.05, abs=0.5), (axis, grad, fd)
+
+
+def test_crop_fused_matches_full_then_crop():
+    """rotate_resample_camera_patch_multipass == full warp -> axis align ->
+    dynamic-slice crop (same kernels, window folded into pass deltas)."""
+    from rendernet_tpu.ops.crops import crop_voxel
+    from rendernet_tpu.ops.pallas_resample import (
+        rotate_resample_camera_patch_multipass,
+        rotate_resample_to_camera_multipass,
+    )
+
+    poses = _poses()[1:5]
+    rng = np.random.default_rng(3)
+    vols = jnp.asarray(rng.random((4, S, S, S, 1), dtype=np.float32))
+    p = 16
+    for off in ((0, 0), (5, 11), (N - p, 3)):
+        offsets = jnp.asarray(off, jnp.int32)
+        full = rotate_resample_to_camera_multipass(vols, poses, new_size=N)
+        want = np.asarray(crop_voxel(full, offsets, p))
+        got = np.asarray(
+            rotate_resample_camera_patch_multipass(
+                vols, poses, offsets, p, new_size=N
+            )
+        )
+        assert got.shape == (4, p, p, N, 1)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_crop_fused_gradients_match_full_then_crop():
+    from rendernet_tpu.ops.crops import crop_voxel
+    from rendernet_tpu.ops.pallas_resample import (
+        rotate_resample_camera_patch_multipass,
+        rotate_resample_to_camera_multipass,
+    )
+
+    vols = _blob()
+    pose0 = jnp.asarray([[0.91731, 0.26117, 1.03291]], jnp.float32)
+    offsets = jnp.asarray([7, 4], jnp.int32)
+    p = 16
+
+    def loss_fused(v, q):
+        out = rotate_resample_camera_patch_multipass(
+            v, q, offsets, p, new_size=N
+        )
+        return jnp.sum(out * out)
+
+    def loss_ref(v, q):
+        out = crop_voxel(
+            rotate_resample_to_camera_multipass(v, q, new_size=N), offsets, p
+        )
+        return jnp.sum(out * out)
+
+    gv_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(vols, pose0)
+    gv_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(vols, pose0)
+    np.testing.assert_allclose(
+        np.asarray(gv_f), np.asarray(gv_r), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp_f), np.asarray(gp_r), rtol=2e-4, atol=2e-4
+    )
