@@ -31,8 +31,7 @@ from rendernet_tpu.nn.layers import (
     dropout,
     fully_connected,
     prelu,
-    res_block_2d,
-    res_block_3d,
+    res_block_stack,
 )
 
 __all__ = [
@@ -124,8 +123,9 @@ def recon_rendernet(
             x = dropout(m, prelu(m, x), kp)
 
         shortcut = x
-        for i in range(1, 11):
-            x = res_block_3d(m, x, 16, scope=f"res1_{i}", activation="relu")
+        x = res_block_stack(
+            m, x, 10, 16, "res1_{}", ndim=3, activation="relu"
+        )
         with m.scope("res1_skip"):
             x = conv3d(m, x, 16, (3, 3, 3), (1, 1, 1), scope="con1_3X3")
         x = (x.astype(jnp.float32) + shortcut.astype(jnp.float32)).astype(
@@ -141,8 +141,9 @@ def recon_rendernet(
             x = dropout(m, prelu(m, x), kp)
 
         shortcut = x
-        for i in range(1, 11):
-            x = res_block_2d(m, x, nf, scope=f"res2_{i}", activation="relu")
+        x = res_block_stack(
+            m, x, 10, nf, "res2_{}", ndim=2, activation="relu"
+        )
         with m.scope("res2_skip"):
             x = conv2d(m, x, nf, (3, 3), (1, 1), scope="con1_3X3")
         x = (x.astype(jnp.float32) + shortcut.astype(jnp.float32)).astype(
@@ -153,8 +154,9 @@ def recon_rendernet(
             x = conv2d(m, x, 256, (4, 4), (1, 1), scope="e_conv5")
             x = dropout(m, prelu(m, x), kp)
         shortcut = x
-        for i in range(1, 6):
-            x = res_block_2d(m, x, 256, scope=f"res3_{i}", activation="relu")
+        x = res_block_stack(
+            m, x, 5, 256, "res3_{}", ndim=2, activation="relu"
+        )
         with m.scope("res3_skip"):
             x = conv2d(m, x, 256, (3, 3), (1, 1), scope="con1_3X3")
         trunk = (x.astype(jnp.float32) + shortcut.astype(jnp.float32)).astype(

@@ -30,20 +30,11 @@ from rendernet_tpu.nn.layers import (
     dropout,
     prelu,
     projection_unit,
-    res_block_2d,
-    res_block_3d,
+    res_block_stack,
 )
 from rendernet_tpu.ops.resample import rotate_resample_to_camera
 
 __all__ = ["ShaderConfig", "shader_rendernet", "shader_forward", "init_shader_params"]
-
-
-def _maybe_remat(fn, cfg, m):
-    """jax.checkpoint around a block (apply mode only — the init pass must
-    actually create parameters, and checkpoint would re-trace it)."""
-    if cfg.remat and not m.initializing:
-        return jax.checkpoint(fn)
-    return fn
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +58,13 @@ class ShaderConfig:
     # trades ~1/3 more FLOPs for O(n_blocks) less activation memory —
     # enables full-resolution (128-patch) training and larger batches.
     remat: bool = False
+    # Run each res stack as one lax.scan over stacked per-block params
+    # (identical math and param naming, ~5x faster XLA compile, and with
+    # remat one live block instead of n in the backward). Default OFF for
+    # this model: at the training batch the scan's stacked-weight copies
+    # push the step over a 16 GB chip unless remat is also on, and
+    # scan+remat costs ~12% step time (measured v5e: 478 vs 420 ms).
+    scan_blocks: bool = False
 
 
 def shader_rendernet(m: Module, vox: jnp.ndarray, cfg: ShaderConfig) -> jnp.ndarray:
@@ -89,11 +87,10 @@ def shader_rendernet(m: Module, vox: jnp.ndarray, cfg: ShaderConfig) -> jnp.ndar
             x = dropout(m, prelu(m, x), kp)
 
         shortcut = x
-        for i in range(1, cfg.res1_blocks + 1):
-            x = _maybe_remat(
-                lambda y, i=i: res_block_3d(m, y, c3, scope=f"res1_{i}"),
-                cfg, m,
-            )(x)
+        x = res_block_stack(
+            m, x, cfg.res1_blocks, c3, "res1_{}", ndim=3,
+            use_scan=cfg.scan_blocks, remat=cfg.remat,
+        )
         with m.scope("res1_skip"):
             x = conv3d(m, x, c3, (3, 3, 3), (1, 1, 1), scope="con1_3X3")
         x = (x.astype(jnp.float32) + shortcut.astype(jnp.float32)).astype(
@@ -105,11 +102,10 @@ def shader_rendernet(m: Module, vox: jnp.ndarray, cfg: ShaderConfig) -> jnp.ndar
         nf = x.shape[-1]  # depth*channels: 1024 for a 128-deep grid
 
         shortcut = x
-        for i in range(1, cfg.res2_blocks + 1):
-            x = _maybe_remat(
-                lambda y, i=i: res_block_2d(m, y, nf, scope=f"res2_{i}"),
-                cfg, m,
-            )(x)
+        x = res_block_stack(
+            m, x, cfg.res2_blocks, nf, "res2_{}", ndim=2,
+            use_scan=cfg.scan_blocks, remat=cfg.remat,
+        )
         with m.scope("res2_skip"):
             x = conv2d(m, x, nf, (3, 3), (1, 1), scope="con1_3X3")
         x = (x.astype(jnp.float32) + shortcut.astype(jnp.float32)).astype(
@@ -121,11 +117,10 @@ def shader_rendernet(m: Module, vox: jnp.ndarray, cfg: ShaderConfig) -> jnp.ndar
             x = conv2d(m, x, b * 16, (4, 4), (1, 1), scope="e_conv5")
             x = dropout(m, prelu(m, x), kp)
         shortcut = x
-        for i in range(1, cfg.res3_blocks + 1):
-            x = _maybe_remat(
-                lambda y, i=i: res_block_2d(m, y, b * 16, scope=f"res3_{i}"),
-                cfg, m,
-            )(x)
+        x = res_block_stack(
+            m, x, cfg.res3_blocks, b * 16, "res3_{}", ndim=2,
+            use_scan=cfg.scan_blocks, remat=cfg.remat,
+        )
         with m.scope("res3_skip"):
             x = conv2d(m, x, b * 16, (3, 3), (1, 1), scope="con1_3X3")
         x = (x.astype(jnp.float32) + shortcut.astype(jnp.float32)).astype(

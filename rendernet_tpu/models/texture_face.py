@@ -32,8 +32,7 @@ from rendernet_tpu.nn.layers import (
     fully_connected,
     prelu,
     projection_unit,
-    res_block_2d,
-    res_block_3d,
+    res_block_stack,
 )
 from rendernet_tpu.ops.resample import rotate_resample_to_camera
 
@@ -58,6 +57,8 @@ class TextureFaceConfig:
     res3_blocks: int = 5
     base: int = 32
     new_size: int = 128
+    # See ShaderConfig.scan_blocks (same trade-off).
+    scan_blocks: bool = False
 
 
 def texture_decoder(m: Module, z: jnp.ndarray) -> jnp.ndarray:
@@ -132,8 +133,10 @@ def texture_face_rendernet(
             x = dropout(m, prelu(m, x), kp)
 
         shortcut = x
-        for i in range(1, cfg.res1_blocks + 1):
-            x = res_block_3d(m, x, c3, scope=f"res1_{i}")
+        x = res_block_stack(
+            m, x, cfg.res1_blocks, c3, "res1_{}", ndim=3,
+            use_scan=cfg.scan_blocks,
+        )
         with m.scope("res1_skip"):
             x = conv3d(m, x, c3, (3, 3, 3), (1, 1, 1), scope="con1_3X3")
         x = (x.astype(jnp.float32) + shortcut.astype(jnp.float32)).astype(
@@ -144,8 +147,10 @@ def texture_face_rendernet(
         nf = x.shape[-1]  # 512 for a 128-deep grid at 16 channels
 
         shortcut = x
-        for i in range(1, cfg.res2_blocks + 1):
-            x = res_block_2d(m, x, nf, scope=f"res2_{i}")
+        x = res_block_stack(
+            m, x, cfg.res2_blocks, nf, "res2_{}", ndim=2,
+            use_scan=cfg.scan_blocks,
+        )
         with m.scope("res2_skip"):
             x = conv2d(m, x, nf, (3, 3), (1, 1), scope="con1_3X3")
         x = (x.astype(jnp.float32) + shortcut.astype(jnp.float32)).astype(
@@ -157,8 +162,10 @@ def texture_face_rendernet(
             x = conv2d(m, x, b * 8, (4, 4), (1, 1), scope="e_conv5")
             x = dropout(m, prelu(m, x), kp)
         shortcut = x
-        for i in range(1, cfg.res3_blocks + 1):
-            x = res_block_2d(m, x, b * 8, scope=f"res3_{i}")
+        x = res_block_stack(
+            m, x, cfg.res3_blocks, b * 8, "res3_{}", ndim=2,
+            use_scan=cfg.scan_blocks,
+        )
         with m.scope("res3_skip"):
             x = conv2d(m, x, b * 8, (3, 3), (1, 1), scope="con1_3X3")
         trunk = (x.astype(jnp.float32) + shortcut.astype(jnp.float32)).astype(

@@ -158,3 +158,40 @@ def test_fully_connected(rng):
     w = np.asarray(m.params["fc/weights"])
     b = np.asarray(m.params["fc/biases"])
     np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ w + b, atol=1e-5)
+
+
+def test_res_block_stack_scan_matches_unrolled():
+    """lax.scan over stacked per-block params == unrolled blocks (same math,
+    same param paths) for both activations and both ndims."""
+    import numpy as np
+    from rendernet_tpu.nn.layers import Module, res_block_stack
+
+    rng = np.random.default_rng(0)
+    for ndim, shape in ((2, (2, 8, 8, 12)), (3, (2, 6, 6, 6, 12))):
+        for act in ("prelu", "relu"):
+            x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+            m0 = Module(rng=jax.random.PRNGKey(3))
+            with m0.scope("encoder"):
+                res_block_stack(
+                    m0, x, 4, 12, "res_{}", ndim=ndim, activation=act
+                )
+            params = m0.params
+            # prelu alphas init to 0 — randomize so the activation matters
+            params = {
+                k: (jnp.asarray(rng.standard_normal(v.shape), jnp.float32)
+                    if k.endswith("alpha") else v)
+                for k, v in params.items()
+            }
+            outs = []
+            for use_scan in (False, True):
+                m = Module(params=params)
+                with m.scope("encoder"):
+                    outs.append(
+                        res_block_stack(
+                            m, x, 4, 12, "res_{}", ndim=ndim,
+                            activation=act, use_scan=use_scan,
+                        )
+                    )
+            np.testing.assert_allclose(
+                np.asarray(outs[0]), np.asarray(outs[1]), atol=1e-6
+            )
