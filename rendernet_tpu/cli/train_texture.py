@@ -15,6 +15,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from rendernet_tpu.train.distributed import initialize_multihost
+
+    initialize_multihost(args.coordinator, args.num_processes, args.process_id)
+
     from rendernet_tpu.train.config import TrainConfig
     from rendernet_tpu.train.loop import train_texture
 

@@ -90,11 +90,14 @@ def data_loader(
     voxel_res: int = 64,
     add_noise: bool = False,
     rng: Optional[np.random.Generator] = None,
+    shard: Optional[Tuple[int, int]] = None,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, list]]:
     """Stream (images, voxels, poses, names) chunks for shader training.
 
     Images are float32 in [0, 255]; greyscale mode means channel-mean
     flatten to 1 channel. Poses are (azimuth, elevation, scale) radians.
+    ``shard=(index, count)`` strides the dataset for multi-host input
+    pipelines: this process sees every count-th valid entry.
     """
     chunk = batch_size if validation_mode else batch_size * batches_chunk
     channels = 1 if flatten else 3
@@ -103,12 +106,16 @@ def data_loader(
     params = np.zeros((chunk, 3), np.float32)
     names: list = []
     counter = 0
+    entry_idx = 0
     if add_noise and rng is None:
         rng = np.random.default_rng()
 
     with NpyTarReader(img_path) as reader:
         for img, img_name in reader:
             if img is None or img_name is None:
+                continue
+            entry_idx += 1
+            if shard is not None and (entry_idx - 1) % shard[1] != shard[0]:
                 continue
             idx = counter % chunk
             img = np.asarray(img, np.float32)
@@ -158,10 +165,12 @@ def data_loader_image_texture_normal_face(
     texture_dim: int = 199,
     add_noise: bool = False,
     rng: Optional[np.random.Generator] = None,
+    shard: Optional[Tuple[int, int]] = None,
 ) -> Iterator[Tuple[np.ndarray, ...]]:
     """Stream (images, normals, voxels, textures, poses, names) for the face
     workload. Per-identity Basel beta is read from ``beta{id}.mat`` and the
-    normal map from ``{entry}.png`` (tools/data_util.py:182-187)."""
+    normal map from ``{entry}.png`` (tools/data_util.py:182-187).
+    ``shard=(index, count)`` strides entries for multi-host pipelines."""
     import scipy.io
 
     chunk = batch_size if validation_mode else batch_size * batches_chunk
@@ -172,12 +181,16 @@ def data_loader_image_texture_normal_face(
     params = np.zeros((chunk, 3), np.float32)
     names: list = []
     counter = 0
+    entry_idx = 0
     if add_noise and rng is None:
         rng = np.random.default_rng()
 
     with NpyTarReader(img_path) as reader:
         for img, img_name in reader:
             if img is None or img_name is None:
+                continue
+            entry_idx += 1
+            if shard is not None and (entry_idx - 1) % shard[1] != shard[0]:
                 continue
             idx = counter % chunk
             ims[idx] = np.asarray(img, np.float32)[:, :, :3]

@@ -6,16 +6,64 @@ sharded over 'data', parameters replicated, and gradient all-reduce emitted
 by XLA as ICI collectives when the jitted step consumes sharded batches with
 replicated params. No hand-written collectives needed at this model scale
 (≈20-40M params — the all-reduce is tiny; efficiency hinges on step overlap).
+
+Multi-host: ``initialize_multihost`` brings up the jax.distributed runtime
+(coordinator handshake), ``make_hybrid_mesh`` lays the data axis out
+DCN-major/ICI-minor so the gradient all-reduce rides ICI within a slice and
+only crosses DCN once per slice, and ``shard_host_local_batch`` assembles
+global batches from per-process local input pipelines
+(``jax.make_array_from_process_local_data``) so no host ever materializes
+the global batch.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+import os
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "data_sharding", "spatial_sharding", "shard_batch", "replicate"]
+__all__ = [
+    "initialize_multihost",
+    "make_mesh",
+    "make_hybrid_mesh",
+    "data_sharding",
+    "spatial_sharding",
+    "shard_batch",
+    "shard_host_local_batch",
+    "replicate",
+    "process_shard",
+]
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Bring up the jax.distributed runtime for a multi-host run.
+
+    Returns True when initialization happened. A no-op (False) when the run
+    is single-process and nothing is configured — safe to call
+    unconditionally from CLIs. Explicit args win; otherwise the standard
+    env vars (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
+    ``JAX_PROCESS_ID`` or a cloud-TPU metadata server) trigger autodetect
+    inside ``jax.distributed.initialize``.
+    """
+    configured = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ) or os.environ.get("COORDINATOR_ADDRESS")
+    if not configured:
+        return False
+    if jax.distributed.global_state.client is not None:  # already up
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
 
 
 def make_mesh(
@@ -36,6 +84,41 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def make_hybrid_mesh(
+    n_model: int = 1, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """Topology-aware ('data', 'model') mesh.
+
+    Within one slice/host group the layout follows the physical ICI torus
+    (``mesh_utils.create_device_mesh``); across slices connected by DCN it
+    uses ``create_hybrid_device_mesh`` with the data axis DCN-major — so
+    the per-step gradient all-reduce reduces within each slice over ICI
+    first and crosses DCN only with the slice-reduced tensor. Falls back to
+    :func:`make_mesh` where topology info is unavailable (CPU meshes).
+    """
+    from jax.experimental import mesh_utils
+
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    slice_ids = {getattr(d, "slice_index", 0) or 0 for d in devices}
+    num_slices = len(slice_ids)
+    try:
+        if num_slices > 1:
+            per_slice = n // num_slices
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (per_slice // n_model, n_model),
+                (num_slices, 1),
+                devices=devices,
+            )
+        else:
+            arr = mesh_utils.create_device_mesh(
+                (n // n_model, n_model), devices=devices
+            )
+    except (ValueError, NotImplementedError):
+        return make_mesh(n_model=n_model, devices=devices)
+    return Mesh(arr, ("data", "model"))
+
+
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard axis 0 (batch) over 'data'; everything else replicated."""
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
@@ -52,10 +135,48 @@ def spatial_sharding(mesh: Mesh, ndim: int, axis: int = 1) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put every array in a pytree with batch-axis sharding."""
+    """Device-put every array in a pytree with batch-axis sharding.
+
+    Single-process: plain sharded device_put of the (globally visible)
+    batch. Multi-process: delegates to :func:`shard_host_local_batch` —
+    the input is this host's shard and the global array is assembled
+    without any host seeing the full batch.
+    """
+    if jax.process_count() > 1:
+        return shard_host_local_batch(mesh, batch)
     return jax.tree.map(
         lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
     )
+
+
+def shard_host_local_batch(mesh: Mesh, batch: Any) -> Any:
+    """Assemble global batch arrays from per-process local shards.
+
+    Each process passes only its own slice of the batch (global batch =
+    process_count * local batch, in process-index order along axis 0);
+    ``jax.make_array_from_process_local_data`` builds the global
+    batch-sharded jax.Arrays backed by this host's addressable devices.
+    """
+    def put(x):
+        return jax.make_array_from_process_local_data(
+            data_sharding(mesh, np.ndim(x)), np.asarray(x)
+        )
+
+    return jax.tree.map(put, batch)
+
+
+def process_shard(batch_size: int) -> Tuple[int, int, int]:
+    """(local_batch, process_index, process_count) for a global batch size.
+
+    Data loaders stride the dataset by (index, count) so each host reads
+    a disjoint subset and feeds local_batch samples per step.
+    """
+    n, i = jax.process_count(), jax.process_index()
+    if batch_size % n:
+        raise ValueError(
+            f"global batch {batch_size} not divisible by {n} processes"
+        )
+    return batch_size // n, i, n
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -29,7 +29,13 @@ from rendernet_tpu.train.checkpoint import (
     save_params_npz,
 )
 from rendernet_tpu.train.config import TrainConfig
-from rendernet_tpu.train.distributed import make_mesh, replicate, shard_batch
+from rendernet_tpu.train.distributed import (
+    make_hybrid_mesh,
+    make_mesh,
+    process_shard,
+    replicate,
+    shard_batch,
+)
 from rendernet_tpu.train.steps import (
     create_shader_state,
     create_texture_state,
@@ -65,7 +71,12 @@ def _maybe_resume(ckpt_dir: str, state, run):
 
 
 def _auto_mesh(cfg: TrainConfig):
-    """Data mesh over the largest device count that divides the batch."""
+    """Data mesh over the largest device count that divides the batch.
+
+    Multi-process runs get the DCN-aware hybrid layout (all devices; the
+    global batch must divide evenly there)."""
+    if jax.process_count() > 1:
+        return make_hybrid_mesh()
     n_data = cfg.data_parallel or len(jax.devices())
     while cfg.batch_size % n_data:
         n_data -= 1
@@ -125,19 +136,21 @@ def train_shader(
         if patch not in steps:
             steps[patch] = make_shader_train_step(model_cfg, cfg, tx, patch)
         step_fn = steps[patch]
+        local_bs, pidx, pcount = process_shard(cfg.batch_size)
         loader = data_loader(
             cfg.image_path,
             cfg.model_path,
-            batch_size=cfg.batch_size,
+            batch_size=local_bs,
             batches_chunk=cfg.batches_chunk,
             flatten=cfg.is_greyscale,
             img_res=cfg.img_res,
             voxel_res=cfg.voxel_res,
+            shard=(pidx, pcount) if pcount > 1 else None,
         )
         for chunk_idx, (images, voxels, poses, names) in enumerate(loader):
             # compact uint8 feed: 4x less host->device traffic (lossless);
             # the jitted step casts/normalizes on device.
-            n_batches = len(images) // cfg.batch_size
+            n_batches = len(images) // local_bs
             images_u8 = voxels_u8 = None
             for i in range(n_batches):
                 if cfg.cache_chunks and (chunk_idx, i) in chunk_cache:
@@ -146,7 +159,7 @@ def train_shader(
                     if images_u8 is None:
                         images_u8 = np.clip(images, 0, 255).astype(np.uint8)
                         voxels_u8 = voxels.astype(np.uint8)
-                    sl = slice(i * cfg.batch_size, (i + 1) * cfg.batch_size)
+                    sl = slice(i * local_bs, (i + 1) * local_bs)
                     batch = (
                         jnp.asarray(voxels_u8[sl]),
                         jnp.asarray(images_u8[sl]),
@@ -171,7 +184,7 @@ def train_shader(
                     run.log(step=global_step, epoch=epoch, loss=float(loss))
                     pred = eval_step(state.params, batch[0], batch[2])
                     run.dump_pair(
-                        f"train_{names[i * cfg.batch_size]}",
+                        f"train_{names[i * local_bs]}",
                         global_step,
                         np.asarray(pred[0]),
                         np.asarray(batch[1][0]),
@@ -243,23 +256,25 @@ def train_texture(
         if patch not in steps:
             steps[patch] = make_texture_train_step(model_cfg, cfg, tx, patch)
         step_fn = steps[patch]
+        local_bs, pidx, pcount = process_shard(cfg.batch_size)
         loader = data_loader_image_texture_normal_face(
             cfg.image_path,
             cfg.model_path,
             cfg.texture_path,
             cfg.normal_path,
-            batch_size=cfg.batch_size,
+            batch_size=local_bs,
             batches_chunk=cfg.batches_chunk,
             img_res=cfg.img_res,
             voxel_res=cfg.voxel_res,
+            shard=(pidx, pcount) if pcount > 1 else None,
         )
         for images, normals, voxels, textures, poses, names in loader:
             images_u8 = np.clip(images, 0, 255).astype(np.uint8)
             normals_u8 = np.clip(normals, 0, 255).astype(np.uint8)
             voxels_u8 = voxels.astype(np.uint8)
-            n_batches = len(images) // cfg.batch_size
+            n_batches = len(images) // local_bs
             for i in range(n_batches):
-                sl = slice(i * cfg.batch_size, (i + 1) * cfg.batch_size)
+                sl = slice(i * local_bs, (i + 1) * local_bs)
                 batch = (
                     jnp.asarray(voxels_u8[sl]),
                     jnp.asarray(images_u8[sl]),

