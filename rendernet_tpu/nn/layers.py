@@ -18,6 +18,7 @@ TPU-idiomatic:
 from __future__ import annotations
 
 import contextlib
+import functools
 from typing import Callable, Dict, Optional, Sequence
 
 import jax
@@ -130,6 +131,100 @@ def lrelu(x: jnp.ndarray, leak: float = 0.2) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 _DIMNUMS = {2: ("NHWC", "HWIO", "NHWC"), 3: ("NDHWC", "DHWIO", "NDHWC")}
 
+# Depth-packed conv dispatch: "auto" enables it on TPU only (CPU tests keep
+# XLA's reference lowering); True/False force it for tests.
+DEPTH_PACK = "auto"
+
+
+def _depth_pack_factor(x: jnp.ndarray, w: jnp.ndarray, stride) -> int:
+    """Pack factor for the stride-1 odd-kernel 3D conv, or 1 if ineligible.
+
+    WHY: the MXU is a 128x128 systolic array; a conv with out_channels=32
+    leaves 3/4 of its lanes idle. Computing ``f`` depth-consecutive outputs
+    per conv position widens the output-channel dim to ``f*co`` (128 lanes
+    at f=4, co=32) for 2x the logical FLOPs (kernel depth kd -> kd+f-1).
+    Measured on v5e (batch 24, 64^3, 32ch, bf16): 1.2x fwd / 1.1x fwd+bwd
+    on the isolated conv; ~5% off the shader-net fwd+bwd step (403->382 ms).
+    """
+    if w.ndim != 5 or any(s != 1 for s in stride):
+        return 1
+    kh, kw, kd, ci, co = w.shape
+    if kh % 2 == 0 or kw % 2 == 0 or kd % 2 == 0 or co >= 128:
+        return 1
+    d = x.shape[3]
+    for f in (8, 4, 2):
+        if co * f <= 128 and ci * f <= 128 and d % f == 0 and d > f:
+            return f
+    return 1
+
+
+def _depth_packed_expr(x: jnp.ndarray, w: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Depth-packed SAME stride-1 3D conv: equals
+    ``conv_general_dilated(x, w, (1,1,1), 'SAME')`` with MACs regrouped.
+
+    The packed kernel holds the logical kernel at ``f`` depth offsets in
+    disjoint output-channel blocks; a depth-stride-``f`` conv then emits
+    ``f`` depth positions per step, and the [*, D/f, f*co] -> [*, D, co]
+    reshape is free (channels-minor layout).
+    """
+    kh, kw, kd, ci, co = w.shape
+    pc = kd // 2
+    wp = jnp.zeros((kh, kw, kd + f - 1, ci, f * co), w.dtype)
+    for j in range(f):
+        wp = wp.at[:, :, j : j + kd, :, j * co : (j + 1) * co].set(w)
+    y = lax.conv_general_dilated(
+        x,
+        wp,
+        window_strides=(1, 1, f),
+        padding=((kh // 2,) * 2, (kw // 2,) * 2, (pc, kd - 1 - pc)),
+        dimension_numbers=_DIMNUMS[3],
+    )
+    b, a1, a2, dp, n = y.shape
+    return y.reshape(b, a1, a2, dp * f, co)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _depth_packed_conv(x: jnp.ndarray, w: jnp.ndarray, f: int) -> jnp.ndarray:
+    return _depth_packed_expr(x, w, f)
+
+
+def _depth_packed_fwd(x, w, f):
+    return _depth_packed_expr(x, w, f), (x, w)
+
+
+def _depth_packed_bwd(f, res, gy):
+    x, w = res
+    # Data grad of a stride-1 SAME odd-kernel conv is the same conv of the
+    # cotangent with the spatially-flipped, io-swapped kernel — run it
+    # depth-packed too (XLA's own transpose conv would be lane-starved at
+    # ci=32 again). Weight grad: XLA's weight-grad of the PACKED conv
+    # (output-channel dim f*co = full lanes), pulled back through the
+    # (linear) kernel packing by jax.vjp.
+    wf = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    gx = _depth_packed_expr(gy, wf, f)  # fwd eligibility bounds ci*f too
+    _, wvjp = jax.vjp(lambda ww: _depth_packed_expr(x, ww, f), w)
+    (gw,) = wvjp(gy)
+    return gx.astype(x.dtype), gw.astype(w.dtype)
+
+
+_depth_packed_conv.defvjp(_depth_packed_fwd, _depth_packed_bwd)
+
+
+def _conv_op(x: jnp.ndarray, w: jnp.ndarray, stride, ndim: int) -> jnp.ndarray:
+    """SAME conv, routed through the depth-packed path when eligible."""
+    pack = DEPTH_PACK if DEPTH_PACK != "auto" else jax.default_backend() == "tpu"
+    if ndim == 3 and pack:
+        f = _depth_pack_factor(x, w, stride)
+        if f > 1:
+            return _depth_packed_conv(x, w, f)
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=tuple(stride),
+        padding="SAME",
+        dimension_numbers=_DIMNUMS[ndim],
+    )
+
 
 def _conv(
     m: Module,
@@ -151,13 +246,7 @@ def _conv(
         # No preferred_element_type: its autodiff transpose rule mixes bf16
         # cotangents with fp32 operands in current JAX. XLA:TPU accumulates
         # bf16 convolutions in fp32 inside the MXU regardless.
-        y = lax.conv_general_dilated(
-            x,
-            w,
-            window_strides=tuple(stride),
-            padding="SAME",
-            dimension_numbers=_DIMNUMS[ndim],
-        )
+        y = _conv_op(x, w, stride, ndim)
         if use_bias:
             b = m.param("biases", (out_channels,), initializers.constant(0.001))
             y = y + b
@@ -363,7 +452,6 @@ def res_block_stack(
     if has_prelu:
         xs.append(gather("alpha"))
     xs += [gather("conv2_3x3/weights"), gather("conv2_3x3/biases")]
-    dn = _DIMNUMS[ndim]
     ones = (1,) * ndim
 
     def body(h, ws):
@@ -371,16 +459,12 @@ def res_block_stack(
             w1, b1, al, w2, b2 = ws
         else:
             w1, b1, w2, b2 = ws
-        net = lax.conv_general_dilated(
-            h, w1, ones, "SAME", dimension_numbers=dn
-        ) + b1
+        net = _conv_op(h, w1, ones, ndim) + b1
         if has_prelu:
             net = jnp.maximum(net, 0.0) + al * jnp.minimum(net, 0.0)
         else:
             net = jnp.maximum(net, 0.0)
-        net = lax.conv_general_dilated(
-            net, w2, ones, "SAME", dimension_numbers=dn
-        ) + b2
+        net = _conv_op(net, w2, ones, ndim) + b2
         return (net + h).astype(cdt), None
 
     if remat:

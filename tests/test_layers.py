@@ -195,3 +195,72 @@ def test_res_block_stack_scan_matches_unrolled():
             np.testing.assert_allclose(
                 np.asarray(outs[0]), np.asarray(outs[1]), atol=1e-6
             )
+
+
+@pytest.mark.parametrize("ci,co,d", [(32, 32, 16), (16, 32, 16), (8, 8, 24)])
+def test_depth_packed_conv_matches_plain(rng, ci, co, d):
+    """The depth-packed MXU path (values + both grads) equals XLA's plain
+    stride-1 SAME conv — it is the same math with MACs regrouped."""
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, d, ci)).astype(np.float32))
+    w = jnp.asarray(
+        (rng.standard_normal((3, 3, 3, ci, co)) * 0.1).astype(np.float32)
+    )
+    f = layers._depth_pack_factor(x, w, (1, 1, 1))
+    assert f > 1
+
+    def plain(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), "SAME", dimension_numbers=layers._DIMNUMS[3]
+        )
+
+    def packed(x, w):
+        return layers._depth_packed_conv(x, w, f)
+
+    np.testing.assert_allclose(
+        np.asarray(packed(x, w)), np.asarray(plain(x, w)), atol=1e-5
+    )
+    cot = jnp.asarray(rng.standard_normal(plain(x, w).shape).astype(np.float32))
+
+    def loss(fn):
+        return jax.grad(lambda x, w: jnp.sum(fn(x, w) * cot), argnums=(0, 1))
+
+    gx_p, gw_p = loss(packed)(x, w)
+    gx_r, gw_r = loss(plain)(x, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r), atol=1e-4)
+
+
+def test_depth_packed_dispatch_guards(rng):
+    """Ineligible shapes (strided, even kernel, indivisible depth, wide
+    channels) fall back to the plain lowering; eligible conv3d calls agree
+    with the torch oracle when the packed path is forced on."""
+    x = rng.standard_normal((1, 6, 6, 16, 4)).astype(np.float32)
+    old = layers.DEPTH_PACK
+    layers.DEPTH_PACK = True
+    try:
+        m = Module(rng=jax.random.PRNGKey(1))
+        y = layers.conv3d(
+            m, jnp.asarray(x), 4, (3, 3, 3), (1, 1, 1), scope="c", use_bias=False
+        )
+        w = np.asarray(m.params["c/weights"])
+        np.testing.assert_allclose(
+            np.asarray(y), torch_conv3d_same(x, w, (1, 1, 1)), atol=1e-4
+        )
+    finally:
+        layers.DEPTH_PACK = old
+    # guards
+    w5 = jnp.zeros((3, 3, 3, 4, 4))
+    assert layers._depth_pack_factor(jnp.zeros((1, 6, 6, 16, 4)), w5, (1, 1, 2)) == 1
+    assert layers._depth_pack_factor(jnp.zeros((1, 6, 6, 15, 4)), w5, (1, 1, 1)) == 1
+    assert (
+        layers._depth_pack_factor(
+            jnp.zeros((1, 6, 6, 16, 4)), jnp.zeros((4, 3, 3, 4, 4)), (1, 1, 1)
+        )
+        == 1
+    )
+    assert (
+        layers._depth_pack_factor(
+            jnp.zeros((1, 6, 6, 16, 128)), jnp.zeros((3, 3, 3, 128, 128)), (1, 1, 1)
+        )
+        == 1
+    )
