@@ -81,6 +81,24 @@ __all__ = [
 # interp stencil touches a given input lane is <= 2/|self_slope| + 1.
 _TAPS_SHEAR = 3  # self-slope exactly 1.0 -> band width 2 -> 3 taps covers it
 _TAPS_SCALE = 6  # self-slope 1/s; 6 taps covers s <= 2 (radius >= 1.65)
+
+
+def _taps_for_scale(max_scale: float | None) -> int:
+    """Static adjoint tap count for the scale-carrying passes.
+
+    A scale pass has self-slope ``1/s``; input lane i is touched by output
+    lanes l with ``|pos_l - i| < 1``, an open interval of length ``2 s``, so
+    ``ceil(2 s) + 1`` taps always cover it. ``None`` keeps the defensive
+    default (s <= 2). With the reference pose convention
+    ``scale = 3.3/radius`` (tools/data_util.py:111-118) real datasets sit
+    near s = 1, so a bound of ~1.2 drops the backward kernel from 6 to 4
+    taps (~25% of its gather work).
+    """
+    if max_scale is None:
+        return _TAPS_SCALE
+    if max_scale <= 0:
+        raise ValueError(f"max_scale must be positive, got {max_scale}")
+    return max(_TAPS_SHEAR, int(math.ceil(2.0 * max_scale - 1e-6)) + 1)
 _BLK = 1024  # rows per kernel block (tuned on v5e: 512/1024/2048 give
 # 47/44/44 ms fwd at batch 24; 2048 OOMs VMEM in the backward kernel)
 
@@ -167,7 +185,8 @@ def _split_quarter(theta):
 
 
 def build_pass_plan(
-    view_params: jnp.ndarray, size: int = 64, new_size: int = 128
+    view_params: jnp.ndarray, size: int = 64, new_size: int = 128,
+    max_scale: float | None = None,
 ) -> List:
     """Build the step list for the RenderNet backward warp.
 
@@ -176,6 +195,11 @@ def build_pass_plan(
     assumed pre-embedded centered in the ``new_size`` cube. Composition of
     all step matrices equals ``[grid_to_grid_matrix | +pad]`` exactly (the
     scale-pass offsets are solved from that requirement); tests assert it.
+
+    ``max_scale``: static bound on ``view_params[:, 2]``; narrows the
+    adjoint band of the scale passes (see _taps_for_scale). Poses with a
+    larger scale silently produce WRONG voxel gradients — callers must
+    validate their data (train.loop does when the bound is configured).
     """
     view_params = jnp.asarray(view_params, jnp.float32)
     bsz = view_params.shape[0]
@@ -207,10 +231,11 @@ def build_pass_plan(
 
     inv_s = 1.0 / scale
     zero = jnp.zeros_like(inv_s)
+    taps_scale = _taps_for_scale(max_scale)
     for axis in range(3):
         coeffs = [zero, zero, zero, tau[:, axis]]
         coeffs[axis] = inv_s
-        steps.append(("interp", axis, coeffs, _TAPS_SCALE))
+        steps.append(("interp", axis, coeffs, taps_scale))
 
     # Merge adjacent same-axis interp passes: E1 (self-coef a1) then E2 on
     # the same axis compose (matrix product E1 @ E2) into one elementary
@@ -478,6 +503,7 @@ def rotate_resample_multipass(
     size: int | None = None,
     new_size: int = 128,
     crop_windows: dict | None = None,
+    max_scale: float | None = None,
 ) -> jnp.ndarray:
     """Fast multipass counterpart of ops.resample.rotate_resample.
 
@@ -489,6 +515,9 @@ def rotate_resample_multipass(
     may be traced; ``win_size`` is static). The window is produced by the
     axis's LAST interp pass, so later passes run on the cropped row set —
     the fused-crop fast path for patch training.
+
+    ``max_scale``: static pose-scale bound narrowing the backward band
+    (see build_pass_plan; gradients are wrong if violated).
     """
     b, s1, s2, s3, c = voxels.shape
     if size is None:
@@ -499,7 +528,7 @@ def rotate_resample_multipass(
     pw = (pad, n - size - pad)
     vol = jnp.pad(vol, ((0, 0), pw, pw, pw))
 
-    steps = build_pass_plan(view_params, size=size, new_size=n)
+    steps = build_pass_plan(view_params, size=size, new_size=n, max_scale=max_scale)
     crop_windows = dict(crop_windows or {})
     last_interp = {
         step[1]: i for i, step in enumerate(steps) if step[0] == "interp"
@@ -573,10 +602,13 @@ def rotate_resample_to_camera_multipass(
     view_params: jnp.ndarray,
     size: int | None = None,
     new_size: int = 128,
+    max_scale: float | None = None,
 ) -> jnp.ndarray:
     """Fast counterpart of rotate_resample_to_camera."""
     return voxel_to_image_axes(
-        rotate_resample_multipass(voxels, view_params, size, new_size)
+        rotate_resample_multipass(
+            voxels, view_params, size, new_size, max_scale=max_scale
+        )
     )
 
 
@@ -587,6 +619,7 @@ def rotate_resample_camera_patch_multipass(
     patch_size: int,
     size: int | None = None,
     new_size: int = 128,
+    max_scale: float | None = None,
 ) -> jnp.ndarray:
     """Crop-fused fast path: equals
     ``rotate_resample_to_camera_multipass(...)[:, u0:u0+P, v0:v0+P]`` but the
@@ -606,6 +639,7 @@ def rotate_resample_camera_patch_multipass(
     }
     return voxel_to_image_axes(
         rotate_resample_multipass(
-            voxels, view_params, size, new_size, crop_windows=windows
+            voxels, view_params, size, new_size, crop_windows=windows,
+            max_scale=max_scale,
         )
     )

@@ -56,6 +56,11 @@ class TrainConfig:
     # gather path elsewhere; "exact" forces direct trilinear (bit-parity
     # with the reference); "multipass" forces the fast path.
     resample: str = "auto"
+    # Static upper bound on the pose scale (view_params[:, 2] = 3.3/radius,
+    # tools/data_util.py:111-118). When set, the multipass backward narrows
+    # its adjoint band (6 -> 4 taps at 1.2; -25% of that kernel's gathers).
+    # The train loop validates every chunk's poses against the bound.
+    pose_scale_limit: Optional[float] = None
     # Profiling: when profile_dir is set, a jax.profiler trace of steps
     # [profile_start_step, profile_start_step + profile_steps) is written
     # there (view with TensorBoard / xprof).

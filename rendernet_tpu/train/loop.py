@@ -60,6 +60,21 @@ def _profile_window(cfg: TrainConfig, global_step: int) -> None:
         jax.profiler.stop_trace()
 
 
+def _check_pose_scales(poses: np.ndarray, cfg: TrainConfig) -> None:
+    """Guard for the narrowed multipass adjoint band: every pose scale must
+    respect the configured static bound, or voxel gradients would silently
+    lose band taps (ops.pallas_resample.build_pass_plan)."""
+    if cfg.pose_scale_limit is None or poses.shape[-1] < 3:
+        return
+    top = float(np.max(poses[..., 2]))
+    if top > cfg.pose_scale_limit:
+        raise ValueError(
+            f"pose scale {top:.4f} exceeds pose_scale_limit="
+            f"{cfg.pose_scale_limit}; raise the limit (or unset it) — "
+            f"gradients would be wrong"
+        )
+
+
 def _maybe_resume(ckpt_dir: str, state, run):
     """Crash-resume: restore the last checkpoint if one exists in the run
     dir (parity with tf.train.Supervisor's auto-restore,
@@ -148,6 +163,7 @@ def train_shader(
             shard=(pidx, pcount) if pcount > 1 else None,
         )
         for chunk_idx, (images, voxels, poses, names) in enumerate(loader):
+            _check_pose_scales(poses, cfg)
             # compact uint8 feed: 4x less host->device traffic (lossless);
             # the jitted step casts/normalizes on device.
             n_batches = len(images) // local_bs
@@ -269,6 +285,7 @@ def train_texture(
             shard=(pidx, pcount) if pcount > 1 else None,
         )
         for images, normals, voxels, textures, poses, names in loader:
+            _check_pose_scales(poses, cfg)
             images_u8 = np.clip(images, 0, 255).astype(np.uint8)
             normals_u8 = np.clip(normals, 0, 255).astype(np.uint8)
             voxels_u8 = voxels.astype(np.uint8)

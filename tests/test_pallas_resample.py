@@ -220,3 +220,41 @@ def test_crop_fused_gradients_match_full_then_crop():
     np.testing.assert_allclose(
         np.asarray(gp_f), np.asarray(gp_r), rtol=2e-4, atol=2e-4
     )
+
+
+def test_reduced_taps_gradients_match_default():
+    """A static pose-scale bound narrows the adjoint band (6 -> 3/4 taps)
+    with bit-identical voxel and pose gradients for in-bound poses —
+    including a scale sitting exactly at the bound."""
+    rng = np.random.default_rng(7)
+    poses = jnp.asarray(
+        [[0.7, 0.3, 1.1], [2.5, -0.8, 0.85], [5.9, -1.3, 1.25]], jnp.float32
+    )
+    v = jnp.asarray(rng.random((3, S, S, S, 1), dtype=np.float32))
+    g = jnp.asarray(rng.random((3, N, N, N, 1), dtype=np.float32))
+
+    def grads(max_scale):
+        def loss(vol, p):
+            out = rotate_resample_multipass(
+                vol, p, new_size=N, max_scale=max_scale
+            )
+            return jnp.sum(out * g)
+
+        return jax.grad(loss, argnums=(0, 1))(v, poses)
+
+    gv_ref, gp_ref = grads(None)
+    gv_fast, gp_fast = grads(1.25)  # scale of pose 3 == the bound
+    np.testing.assert_allclose(np.asarray(gv_fast), np.asarray(gv_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp_fast), np.asarray(gp_ref), rtol=1e-4)
+
+
+def test_taps_for_scale_bounds():
+    from rendernet_tpu.ops.pallas_resample import _taps_for_scale
+
+    assert _taps_for_scale(None) == 6
+    assert _taps_for_scale(1.0) == 3
+    assert _taps_for_scale(1.2) == 4  # ROADMAP case: -2 taps vs default
+    assert _taps_for_scale(1.5) == 4
+    assert _taps_for_scale(2.0) == 5
+    with pytest.raises(ValueError):
+        _taps_for_scale(0.0)
