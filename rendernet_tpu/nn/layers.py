@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from rendernet_tpu.nn import init as initializers
+from rendernet_tpu.ops import pallas_conv3d
 
 Params = Dict[str, jnp.ndarray]
 
@@ -135,6 +136,12 @@ _DIMNUMS = {2: ("NHWC", "HWIO", "NHWC"), 3: ("NDHWC", "DHWIO", "NDHWC")}
 # XLA's reference lowering); True/False force it for tests.
 DEPTH_PACK = "auto"
 
+# Implicit-GEMM Pallas kernel for the 3x3x3 stride-1 convs of the 3D res
+# stack (ops/pallas_conv3d.py). Preferred over depth packing when the shape
+# fits its envelope: measured 4.8x faster fwd than the best XLA formulation
+# at training shapes. Same "auto"/True/False gating as DEPTH_PACK.
+PALLAS_CONV3D = "auto"
+
 
 def _depth_pack_factor(x: jnp.ndarray, w: jnp.ndarray, stride) -> int:
     """Pack factor for the stride-1 odd-kernel 3D conv, or 1 if ineligible.
@@ -211,8 +218,18 @@ _depth_packed_conv.defvjp(_depth_packed_fwd, _depth_packed_bwd)
 
 
 def _conv_op(x: jnp.ndarray, w: jnp.ndarray, stride, ndim: int) -> jnp.ndarray:
-    """SAME conv, routed through the depth-packed path when eligible."""
+    """SAME conv, routed through the Pallas implicit-GEMM kernel or the
+    depth-packed formulation when eligible."""
     pack = DEPTH_PACK if DEPTH_PACK != "auto" else jax.default_backend() == "tpu"
+    plas = (
+        PALLAS_CONV3D
+        if PALLAS_CONV3D != "auto"
+        else jax.default_backend() == "tpu"
+    )
+    if ndim == 3 and plas and pallas_conv3d.nc_conv3d_supported(
+        x.shape, w.shape, tuple(stride)
+    ):
+        return pallas_conv3d.nc_conv3d(x, w)
     if ndim == 3 and pack:
         f = _depth_pack_factor(x, w, stride)
         if f > 1:

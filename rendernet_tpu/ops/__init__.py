@@ -1,4 +1,12 @@
-from rendernet_tpu.ops import crops, pallas_resample, phong, resample, transforms
+from rendernet_tpu.ops import (
+    crops,
+    pallas_conv3d,
+    pallas_resample,
+    phong,
+    resample,
+    transforms,
+)
+from rendernet_tpu.ops.pallas_conv3d import nc_conv3d, nc_conv3d_supported
 from rendernet_tpu.ops.pallas_resample import (
     rotate_resample_camera_patch_multipass,
     rotate_resample_multipass,
@@ -20,6 +28,9 @@ from rendernet_tpu.ops.transforms import (
 
 __all__ = [
     "crops",
+    "pallas_conv3d",
+    "nc_conv3d",
+    "nc_conv3d_supported",
     "pallas_resample",
     "rotate_resample_multipass",
     "rotate_resample_to_camera_multipass",
