@@ -71,14 +71,17 @@ def main() -> None:
                 raise
             batch //= 2
 
-    # Timed steps. NB sync via a host fetch each step: on the tunneled TPU
-    # platform block_until_ready on a donated-aliased scalar has been
-    # observed to return early, producing bogus timings.
-    n_steps = 4
+    # Timed steps. Steps chain through the donated optimizer state, so one
+    # host fetch of the LAST loss forces the whole sequence; syncing every
+    # step would add a host->device round trip per step (~30 ms through
+    # the tunneled platform) that a real input-pipelined training loop
+    # doesn't pay. (block_until_ready on a donated-aliased scalar has been
+    # observed to return early on the tunnel, hence the float() fetch.)
+    n_steps = 8
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, loss = step(state, *batch_data, key)
-        float(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     frames_per_s = batch * n_steps / dt / n_chips

@@ -7,30 +7,41 @@ formulation we measured (plain NDHWC, depth-packed, block-banded). The op
 is compute-lowering-bound, not bandwidth-bound, so the fix is a kernel that
 feeds the MXU directly.
 
-DESIGN (implicit GEMM):
+DESIGN (implicit GEMM, halo-in-kernel):
   * Depth packing: computing ``f = 128//co`` depth-consecutive outputs per
     GEMM row widens the N dimension to ``f*co = 128`` — full MXU lanes.
-  * XLA-side prep (cheap, fused): spatial zero-pad; a depth "unfold" that
-    stacks the ``f+2`` padded depth taps every output block needs into the
-    minor axis -> ``xd[B, H+2, W+2, D/f, (f+2)*C]``; the kernel weights
-    packed to ``wp[3, 3, (f+2)*C, f*co]`` (tap kz feeds output slot i with
-    logical depth offset kz-i when 0 <= kz-i <= 2, else zero).
-  * Kernel: grid (B, H). Each program emits one output row as
-    ``acc[W*D/f, 128] += piece(ky, kx) @ wp[ky, kx]`` over the 9 spatial
-    taps, where ``piece`` is a static slice of one of three halo row views
-    (the H halo is expressed by passing xd three times with block size 1
-    along H and index maps h, h+1, h+2 — no overlapping blocks needed).
-    M = W*D/f (256 at training shapes), K = (f+2)*C (192), N = 128: every
-    dot is MXU-shaped, fp32 accumulation.
+  * XLA-side prep is ONE aligned op: a spatial zero-pad of the free
+    [B,H,W,D,C] -> [B,H,W,D/f,f*C] regroup (channels-minor, lane-aligned).
+    No depth "unfold": the depth halo is assembled inside the kernel.
+  * Kernel: grid (B, H/hb). Each program sees hb+2 H-halo row views of
+    the padded input (block size 1 along H, index maps h*hb + i) and
+    emits hb output rows. Per output row and spatial tap (ky, kx) it
+    issues TWO K=f*C dots into a fp32 [W*D/f, 128] accumulator:
+      - mid:   [m, f*C] @ wmid[ky,kx]  — each output slot i reads the
+        block's own depths j with kz = j-i+1 in [0,3);
+      - combo: [m, f*C] @ wcombo[ky,kx] — a lane-select of the
+        sublane-shifted previous/next depth blocks (zero rows at the
+        boundaries); only lanes [(f-1)C, fC) (slot 0's kz=0 tap) and
+        [0, C) (slot f-1's kz=2 tap) have nonzero weights, the rest are
+        don't-cares, so no lane-offset slicing is needed in VMEM.
+    Two exact K=128 MXU passes per tap — the same pass count as the
+    unfolded K=(f+2)*C=192 form (which pads to 256), with 2/3 the DMA
+    traffic and zero prep materialization. fp32 accumulation.
   * Backward: data grad = the same kernel with the spatially-flipped,
     io-swapped kernel (exact for SAME/stride-1/odd); weight grad = a
-    sibling kernel accumulating ``piece^T @ dy_packed`` into the packed
-    [3, 3, K, 128] gradient across the whole grid (output block pinned),
-    unpacked to w-shape by summing the f slot-aliases in XLA.
+    sibling kernel accumulating ``piece^T @ dy_packed`` into packed
+    [3, 3, f*C, 128] mid + combo gradients across the whole grid
+    (output blocks pinned), unpacked by the packing adjoints in XLA. The
+    padded input is saved as the VJP residual so the backward re-pads
+    nothing.
 
-Measured v5e (batch 24, 32^3x32ch, bf16): 0.95 ms fwd vs 4.6 ms for the
-best XLA formulation (depth-packed); res-block chain fwd+bwd 3.3 ms vs
-10.3 ms. Full shader step at batch 24/patch 64: 425 -> 305 ms.
+Measured v5e (batch 24, 32^3x32ch, bf16): 2.0 ms fwd / 2.8 ms fwd+bwd vs
+the earlier unfold-prep form's 2.43 ms fwd (1.59 prep + 1.86 kernel) and
+4.6 ms for the best XLA formulation (depth-packed conv op). In the full
+shader train step the layout healing is worth more than the op itself:
+the unfold's slice/concat/pad band and the pathological S(1)-staged
+bias/PReLU/residual epilogue fusions it induced (~55 ms/step) collapse
+to ~7 ms, taking the step from 367 to 339 ms at batch 24 / patch 64.
 
 Reference semantics: SAME, stride 1, odd kernel — the conv family of
 tools/layer_util.py:228-267 as used by the res blocks (:60-121).
@@ -65,127 +76,207 @@ def nc_conv3d_supported(x_shape, w_shape, stride) -> bool:
     b, h, wdim, d, c = x_shape
     if c != ci:
         return False
-    # M = wdim * d // f must tile the 8-sublane register file; K is padded
-    # to lanes anyway. Depth must split into whole blocks.
+    # M = wdim * d // f must tile the 8-sublane register file; depth must
+    # split into whole blocks, with at least one interior block so the
+    # in-kernel halo shifts are meaningful (nq >= 1 suffices for
+    # correctness — boundary rows are zero-filled).
     return d % f == 0 and d // f >= 1 and (wdim * (d // f)) % 8 == 0 and h >= 1
 
 
-def _unfold_depth(x: jnp.ndarray, f: int) -> jnp.ndarray:
-    """[B, H, W, D, C] -> [B, H, W, D/f, (f+2)*C].
-
-    Output block q's minor axis carries depth taps f*q - 1 .. f*q + f
-    (zero outside [0, D)) in kz-major order — everything the block's f
-    outputs need across the 3-tap logical kernel. Built ONLY from free
-    reshapes and contiguous slices: the [D, C] -> [D/f, f*C] regroup is a
-    no-op in channels-minor layout, the halo taps are one neighbor-block
-    channel slice each. (A strided-slice formulation of the same unfold
-    compiled to ~8 ms of XLA data shuffling at training shapes — 4x the
-    whole conv kernel; this one is a single full-bandwidth concat.)
-    """
-    b, h, wd, d, c = x.shape
-    nq = d // f
-    xb = x.reshape(b, h, wd, nq, f * c)
-    zero = jnp.zeros_like(xb[:, :, :, :1, :c])
-    prev_last = jnp.concatenate([zero, xb[:, :, :, :-1, -c:]], axis=3)
-    next_first = jnp.concatenate([xb[:, :, :, 1:, :c], zero], axis=3)
-    return jnp.concatenate([prev_last, xb, next_first], axis=-1)
-
-
-def _pack_weights(w: jnp.ndarray, f: int) -> jnp.ndarray:
-    """[3,3,3,C,co] -> [3,3,(f+2)*C, f*co]; wp[.., kz*C+c, i*co+o] =
-    w[.., kz-i, c, o] for 0 <= kz-i <= 2 (else 0)."""
+def _pack_mid(w: jnp.ndarray, f: int) -> jnp.ndarray:
+    """[3,3,3,C,co] -> [3,3,f*C,f*co]: wmid[.., j*C+c, i*co+o] =
+    w[.., j-i+1, c, o] when 0 <= j-i+1 < 3 (else 0)."""
     kh, kw, kd, c, co = w.shape
-    wp = jnp.zeros((kh, kw, f + 2, c, f, co), w.dtype)
+    wp = jnp.zeros((kh, kw, f, c, f, co), w.dtype)
     for i in range(f):
-        wp = wp.at[:, :, i : i + kd, :, i, :].set(w)
-    return wp.reshape(kh, kw, (f + 2) * c, f * co)
+        for kz in range(kd):
+            j = i + kz - 1
+            if 0 <= j < f:
+                wp = wp.at[:, :, j, :, i, :].set(w[:, :, kz])
+    return wp.reshape(kh, kw, f * c, f * co)
 
 
-def _unpack_weight_grad(gwp: jnp.ndarray, kd: int, c: int, f: int, co: int):
-    """Adjoint of _pack_weights: [3,3,(f+2)*C,f*co] -> [3,3,3,C,co]."""
-    kh, kw = gwp.shape[:2]
-    g6 = gwp.reshape(kh, kw, f + 2, c, f, co)
-    return sum(g6[:, :, i : i + kd, :, i, :] for i in range(f))
+def _unpack_mid_grad(g: jnp.ndarray, kd: int, c: int, f: int, co: int):
+    """Adjoint of _pack_mid: [3,3,f*C,f*co] -> [3,3,3,C,co]."""
+    kh, kw = g.shape[:2]
+    g6 = g.reshape(kh, kw, f, c, f, co)
+    out = jnp.zeros((kh, kw, kd, c, co), g.dtype)
+    for i in range(f):
+        for kz in range(kd):
+            j = i + kz - 1
+            if 0 <= j < f:
+                out = out.at[:, :, kz].add(g6[:, :, j, :, i, :])
+    return out
 
 
-def _fwd_kernel(w_ref, x0_ref, x1_ref, x2_ref, o_ref, *, wdim, nq, k1, f, co):
-    xs = (x0_ref, x1_ref, x2_ref)
+def _pack_combo(w: jnp.ndarray, f: int) -> jnp.ndarray:
+    """[3,3,3,C,co] -> [3,3,f*C,f*co] weights for the halo "combo" matrix:
+    lanes [(f-1)C, fC) carry the previous depth block's last channel group
+    (feeds slot 0 at kz=0); lanes [0, C) the next block's first (feeds slot
+    f-1 at kz=2). All other rows are zero, so the combo matrix's middle
+    lanes are don't-cares."""
+    kh, kw, kd, c, co = w.shape
+    wp = jnp.zeros((kh, kw, f * c, f * co), w.dtype)
+    wp = wp.at[:, :, (f - 1) * c :, :co].set(w[:, :, 0])
+    wp = wp.at[:, :, :c, (f - 1) * co :].set(w[:, :, kd - 1])
+    return wp
+
+
+def _unpack_combo_grad(g: jnp.ndarray, kd: int, c: int, f: int, co: int):
+    """Adjoint of _pack_combo: [3,3,f*C,f*co] -> [3,3,3,C,co]."""
+    kh, kw = g.shape[:2]
+    out = jnp.zeros((kh, kw, kd, c, co), g.dtype)
+    out = out.at[:, :, 0].add(g[:, :, (f - 1) * c :, :co])
+    out = out.at[:, :, kd - 1].add(g[:, :, :c, (f - 1) * co :])
+    return out
+
+
+def _combo_view(row: jnp.ndarray, c: int, f: int) -> jnp.ndarray:
+    """[W+2, nq, f*C] -> [W+2, nq, f*C] halo matrix: lanes >= (f-1)C are
+    the PREVIOUS depth block's row, lanes < (f-1)C the NEXT block's (zero
+    rows at the depth boundaries). Only lanes [(f-1)C, fC) and [0, C) are
+    consumed (_pack_combo zeroes the rest), so a single select suffices.
+    Pure sublane shifts + one lane select — no lane-offset slicing (which
+    Mosaic cannot re-lay-out for concatenation)."""
+    wp2, nq, fc = row.shape
+    zero = jnp.zeros((wp2, 1, fc), row.dtype)
+    if nq > 1:
+        prev = jnp.concatenate([zero, row[:, :-1, :]], axis=1)
+        nxt = jnp.concatenate([row[:, 1:, :], zero], axis=1)
+    else:
+        prev = jnp.zeros_like(row)
+        nxt = prev
+    lane = lax.broadcasted_iota(jnp.int32, (wp2, nq, fc), 2)
+    return jnp.where(lane >= (f - 1) * c, prev, nxt)
+
+
+def _hblk(hout: int) -> int:
+    """Rows per program: amortizes per-program overhead (DMA setup, loop
+    bookkeeping) over ~4x the MXU work; at 1-row programs the kernel is
+    overhead-bound. Measured v5e sweep (fwd+bwd, batch 24, 32ch): hb=4
+    beats 1 by ~27% at D=16 and ~14% at D=32; hb=8 is slightly worse
+    than 4 (VMEM pressure from hb+2 live row views)."""
+    for hb in (4, 2):
+        if hout % hb == 0:
+            return hb
+    return 1
+
+
+def _fwd_kernel(wm_ref, we_ref, *refs, wdim, nq, c, f, co, hb):
+    x_refs, o_ref = refs[:-1], refs[-1]
     m = wdim * nq
-    acc = jnp.zeros((m, f * co), jnp.float32)
-    for ky in range(3):
-        row = xs[ky][0, 0]  # [W+2, nq, K1]
-        for kx in range(3):
-            piece = row[kx : kx + wdim].reshape(m, k1)
-            acc += jnp.dot(
-                piece, w_ref[ky, kx], preferred_element_type=jnp.float32
-            )
-    o_ref[0, 0] = acc.reshape(wdim, nq, f * co).astype(o_ref.dtype)
+    rows = [x_refs[i][0, 0] for i in range(hb + 2)]  # each [W+2, nq, f*C]
+    combos = [_combo_view(r, c, f) for r in rows]
+    for hh in range(hb):
+        acc = jnp.zeros((m, f * co), jnp.float32)
+        for ky in range(3):
+            row, combo = rows[hh + ky], combos[hh + ky]
+            for kx in range(3):
+                mid = row[kx : kx + wdim].reshape(m, f * c)
+                acc += jnp.dot(
+                    mid, wm_ref[ky, kx], preferred_element_type=jnp.float32
+                )
+                epc = combo[kx : kx + wdim].reshape(m, f * c)
+                acc += jnp.dot(
+                    epc, we_ref[ky, kx], preferred_element_type=jnp.float32
+                )
+        o_ref[0, hh] = acc.reshape(wdim, nq, f * co).astype(o_ref.dtype)
 
 
-def _wgrad_kernel(g_ref, x0_ref, x1_ref, x2_ref, o_ref, *, wdim, nq, k1, f, co):
+def _wgrad_kernel(g_ref, *refs, wdim, nq, c, f, co, hb):
+    x_refs, om_ref, oe_ref = refs[:-2], refs[-2], refs[-1]
     bi, hi = pl.program_id(0), pl.program_id(1)
 
     @pl.when((bi == 0) & (hi == 0))
     def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
+        om_ref[...] = jnp.zeros_like(om_ref)
+        oe_ref[...] = jnp.zeros_like(oe_ref)
 
-    xs = (x0_ref, x1_ref, x2_ref)
     m = wdim * nq
-    g = g_ref[0, 0].reshape(m, f * co)
+    rows = [x_refs[i][0, 0] for i in range(hb + 2)]
+    combos = [_combo_view(r, c, f) for r in rows]
     for ky in range(3):
-        row = xs[ky][0, 0]
         for kx in range(3):
-            piece = row[kx : kx + wdim].reshape(m, k1)
-            o_ref[ky, kx] += lax.dot_general(
-                piece, g, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            gm = jnp.zeros((f * c, f * co), jnp.float32)
+            ge = jnp.zeros((f * c, f * co), jnp.float32)
+            for hh in range(hb):
+                g = g_ref[0, hh].reshape(m, f * co)
+                row, combo = rows[hh + ky], combos[hh + ky]
+                mid = row[kx : kx + wdim].reshape(m, f * c)
+                gm += lax.dot_general(
+                    mid, g, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                epc = combo[kx : kx + wdim].reshape(m, f * c)
+                ge += lax.dot_general(
+                    epc, g, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            om_ref[ky, kx] += gm
+            oe_ref[ky, kx] += ge
 
 
-def _conv_call(xd, wp, hout, wdim, nq, k1, f, co, out_dtype):
-    b = xd.shape[0]
-    kern = functools.partial(
-        _fwd_kernel, wdim=wdim, nq=nq, k1=k1, f=f, co=co
+def _pad_spatial(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """[B,H,W,D,C] -> [B,H+2,W+2,D/f,f*C]: free channels-minor regroup +
+    one lane-aligned zero-pad (the only XLA-side prep)."""
+    b, h, wd, d, c = x.shape
+    return jnp.pad(
+        x.reshape(b, h, wd, d // f, f * c),
+        ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)),
     )
 
-    def xspec(ky):
-        return pl.BlockSpec(
-            (1, 1, wdim + 2, nq, k1),
-            lambda bi, hi, ky=ky: (bi, hi + ky, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
 
+def _xspec(i, hb, wdim, nq, fc):
+    """Row view i of hb+2: block-size-1 along H, so the (overlapping)
+    H-halo windows are expressible as plain block index maps."""
+    return pl.BlockSpec(
+        (1, 1, wdim + 2, nq, fc),
+        lambda bi, hi, i=i: (bi, hi * hb + i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _wspec(c, f, co):
+    return pl.BlockSpec(
+        (3, 3, f * c, f * co), lambda bi, hi: (0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _conv_call(xp, wm, we, hout, wdim, nq, c, f, co, out_dtype):
+    b = xp.shape[0]
+    hb = _hblk(hout)
+    kern = functools.partial(
+        _fwd_kernel, wdim=wdim, nq=nq, c=c, f=f, co=co, hb=hb
+    )
     return pl.pallas_call(
         kern,
-        grid=(b, hout),
-        in_specs=[
-            pl.BlockSpec(
-                (3, 3, k1, f * co), lambda bi, hi: (0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            xspec(0), xspec(1), xspec(2),
-        ],
+        grid=(b, hout // hb),
+        in_specs=[_wspec(c, f, co), _wspec(c, f, co)]
+        + [_xspec(i, hb, wdim, nq, f * c) for i in range(hb + 2)],
         out_specs=pl.BlockSpec(
-            (1, 1, wdim, nq, f * co), lambda bi, hi: (bi, hi, 0, 0, 0),
+            (1, hb, wdim, nq, f * co), lambda bi, hi: (bi, hi, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hout, wdim, nq, f * co), out_dtype),
         interpret=not _on_tpu(),
-    )(wp, xd, xd, xd)
+    )(wm, we, *([xp] * (hb + 2)))
+
+
+def _nc_conv3d_padded(xp, w, out_dtype):
+    """Conv on an already spatially-padded packed input [B,H+2,W+2,nq,fC]."""
+    b, hp2, wp2, nq, fc = xp.shape
+    co = w.shape[-1]
+    f = 128 // co
+    c = fc // f
+    y = _conv_call(xp, _pack_mid(w, f), _pack_combo(w, f),
+                   hp2 - 2, wp2 - 2, nq, c, f, co, out_dtype)
+    return y.reshape(b, hp2 - 2, wp2 - 2, nq * f, co)
 
 
 def _nc_conv3d_expr(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    b, h, wdim, d, c = x.shape
-    co = w.shape[-1]
-    f = 128 // co
-    nq = d // f
-    k1 = (f + 2) * c
-    xd = jnp.pad(
-        _unfold_depth(x, f), ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0))
-    )
-    wp = _pack_weights(w, f)
-    y = _conv_call(xd, wp, h, wdim, nq, k1, f, co, x.dtype)
-    return y.reshape(b, h, wdim, d, co)
+    f = 128 // w.shape[-1]
+    return _nc_conv3d_padded(_pad_spatial(x, f), w, x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -199,15 +290,18 @@ def nc_conv3d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _nc_fwd(x, w):
-    return _nc_conv3d_expr(x, w), (x, w)
+    f = 128 // w.shape[-1]
+    xp = _pad_spatial(x, f)
+    return _nc_conv3d_padded(xp, w, x.dtype), (xp, w)
 
 
 def _nc_bwd(res, gy):
-    x, w = res
-    b, h, wdim, d, c = x.shape
+    xp, w = res
     kd = w.shape[2]
+    c = w.shape[3]
     co = w.shape[-1]
     f = 128 // co
+    b, h, wdim, d, _ = gy.shape
 
     # Data grad: same conv of the cotangent with the flipped, io-swapped
     # kernel (exact adjoint for SAME/stride-1/odd kernels).
@@ -220,43 +314,35 @@ def _nc_bwd(res, gy):
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         )
 
-    # Weight grad: accumulate packed [3,3,K1,128] over the whole grid.
+    # Weight grad from the saved padded input: packed mid+edge accumulators
+    # over the whole grid, unpacked by the packing adjoints.
     nq = d // f
-    k1 = (f + 2) * c
-    xd = jnp.pad(
-        _unfold_depth(x, f), ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0))
-    )
+    hb = _hblk(h)
     gyp = gy.reshape(b, h, wdim, nq, f * co)
     kern = functools.partial(
-        _wgrad_kernel, wdim=wdim, nq=nq, k1=k1, f=f, co=co
+        _wgrad_kernel, wdim=wdim, nq=nq, c=c, f=f, co=co, hb=hb
     )
-
-    def xspec(ky):
-        return pl.BlockSpec(
-            (1, 1, wdim + 2, nq, k1),
-            lambda bi, hi, ky=ky: (bi, hi + ky, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    gwp = pl.pallas_call(
+    gwm, gwe = pl.pallas_call(
         kern,
-        grid=(b, h),
+        grid=(b, h // hb),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, wdim, nq, f * co), lambda bi, hi: (bi, hi, 0, 0, 0),
+                (1, hb, wdim, nq, f * co), lambda bi, hi: (bi, hi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            xspec(0), xspec(1), xspec(2),
+        ]
+        + [_xspec(i, hb, wdim, nq, f * c) for i in range(hb + 2)],
+        out_specs=[_wspec(c, f, co), _wspec(c, f, co)],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, 3, f * c, f * co), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3, f * c, f * co), jnp.float32),
         ],
-        out_specs=pl.BlockSpec(
-            (3, 3, k1, f * co), lambda bi, hi: (0, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((3, 3, k1, f * co), jnp.float32),
         interpret=not _on_tpu(),
-    )(gyp, xd, xd, xd)
-    gw = _unpack_weight_grad(gwp, kd, c, f, co)
-    return gx.astype(x.dtype), gw.astype(w.dtype)
+    )(gyp, *([xp] * (hb + 2)))
+    gw = _unpack_mid_grad(gwm, kd, c, f, co) + _unpack_combo_grad(
+        gwe, kd, c, f, co
+    )
+    return gx.astype(xp.dtype), gw.astype(w.dtype)
 
 
 nc_conv3d.defvjp(_nc_fwd, _nc_bwd)
