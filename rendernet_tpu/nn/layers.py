@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import itertools
 from typing import Callable, Dict, Optional, Sequence
 
 import jax
@@ -296,6 +297,73 @@ def conv3d(
     return _conv(m, x, out_channels, kernel_size, stride, scope, 3, use_bias, weight_init)
 
 
+def _deconv_s1_k4(x, w, ndim):
+    """Adjoint of a SAME stride-1 K=4 conv, as a plain conv.
+
+    Forward SAME K=4 pads (1, 2), so the adjoint is the flipped,
+    io-swapped kernel with the mirrored explicit padding (2, 1):
+    z[j] = sum_k w[k] g[j + 1 - k]."""
+    wf = jnp.flip(w, axis=tuple(range(ndim))).swapaxes(ndim, ndim + 1)
+    return lax.conv_general_dilated(
+        x, wf, (1,) * ndim, ((2, 1),) * ndim, dimension_numbers=_DIMNUMS[ndim]
+    )
+
+
+def _deconv_s2_k4(x, w, ndim):
+    """Adjoint of a SAME stride-2 K=4 conv as a sub-pixel conv: one
+    stride-1 3-tap conv producing all 2^ndim output phases in channels,
+    then a depth-to-space interleave.
+
+    WHY: lax.conv_transpose lowers to a conv over the zero-dilated input,
+    which XLA:TPU runs at ~13 TF/s (measured; the 512^2 deconv chain was
+    an 11.5 ms/step pocket of the shader train step). The phase form is a
+    dense stride-1 conv at the small spatial size — regular MXU work.
+
+    Per-dim derivation (fwd SAME K=4 s=2 pads (1,1)):
+      z[2m]   = w[1] g[m] + w[3] g[m-1]   -> 3-tap kernel [w3, w1, 0]
+      z[2m+1] = w[2] g[m] + w[0] g[m+1]   -> 3-tap kernel [0, w2, w0]
+    The ndim-D phase kernel is the outer product of the per-dim rules.
+    ``w`` is TF-transpose layout: spatial + (out, in).
+    """
+    co, ci = w.shape[ndim], w.shape[ndim + 1]
+    nph = 2 ** ndim
+    # wp[t1..tn, ci, p*co + o]; per-dim tap tables: phase 0: t->k {0:3, 1:1},
+    # phase 1: {1:2, 2:0}; all other taps zero.
+    tap_k = ({0: 3, 1: 1}, {1: 2, 2: 0})
+    wp = jnp.zeros((3,) * ndim + (ci, nph * co), w.dtype)
+    for p in range(nph):
+        bits = [(p >> (ndim - 1 - d)) & 1 for d in range(ndim)]
+        for taps_ks in itertools.product(*[tap_k[b].items() for b in bits]):
+            t_idx = tuple(t for t, _ in taps_ks)
+            k_idx = tuple(k for _, k in taps_ks)
+            wp = wp.at[t_idx + (slice(None), slice(p * co, (p + 1) * co))].set(
+                jnp.moveaxis(w[k_idx], 0, 1)
+            )
+    z = lax.conv_general_dilated(
+        x, wp, (1,) * ndim, "SAME", dimension_numbers=_DIMNUMS[ndim]
+    )
+    # depth-to-space: [B, s..., nph*co] -> [B, 2s..., co]
+    b = x.shape[0]
+    sp = x.shape[1 : 1 + ndim]
+    z = z.reshape((b,) + sp + (2,) * ndim + (co,))
+    for d in range(ndim):
+        z = jnp.moveaxis(z, 1 + ndim + d, 1 + 2 * d + 1)
+    return z.reshape((b,) + tuple(2 * s for s in sp) + (co,))
+
+
+def _conv_transpose_op(x, w, stride, ndim):
+    """TF-semantics transposed conv (SAME, out = in*stride), fast-pathed."""
+    ks = w.shape[:ndim]
+    if all(s == 1 for s in stride) and all(k == 4 for k in ks):
+        return _deconv_s1_k4(x, w, ndim)
+    if all(s == 2 for s in stride) and all(k == 4 for k in ks):
+        return _deconv_s2_k4(x, w, ndim)
+    return lax.conv_transpose(
+        x, w, strides=tuple(stride), padding="SAME",
+        dimension_numbers=_DIMNUMS[ndim], transpose_kernel=True,
+    )
+
+
 def _conv_transpose(
     m: Module,
     x: jnp.ndarray,
@@ -317,14 +385,7 @@ def _conv_transpose(
             tuple(kernel_size) + (out_channels, x.shape[-1]),
             weight_init,
         )
-        y = lax.conv_transpose(
-            x,
-            w,
-            strides=tuple(stride),
-            padding="SAME",
-            dimension_numbers=_DIMNUMS[ndim],
-            transpose_kernel=True,
-        )
+        y = _conv_transpose_op(x, w, tuple(stride), ndim)
         if use_bias:
             b = m.param("biases", (out_channels,), initializers.constant(0.001))
             y = y + b

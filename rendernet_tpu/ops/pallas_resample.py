@@ -317,12 +317,14 @@ def _fwd_kernel(p_ref, v_ref, o_ref, *, db: int, lanes: int, out_lanes: int, blk
     i0f = jnp.floor(pos)
     w = pos - i0f
     i0 = i0f.astype(jnp.int32)
-    v = v_ref[0]
+    # Convert AFTER the (possibly bf16) DMA: the HBM traffic is paid at the
+    # stored dtype, while Mosaic's lane-gather only supports 32-bit data.
+    v = v_ref[0].astype(jnp.float32)
     m0 = ((i0 >= 0) & (i0 <= lanes - 1)).astype(jnp.float32)
     m1 = ((i0 + 1 >= 0) & (i0 + 1 <= lanes - 1)).astype(jnp.float32)
     g0 = jnp.take_along_axis(v, jnp.clip(i0, 0, lanes - 1), axis=1)
     g1 = jnp.take_along_axis(v, jnp.clip(i0 + 1, 0, lanes - 1), axis=1)
-    res = (1.0 - w) * g0 * m0 + w * g1 * m1
+    res = ((1.0 - w) * g0 * m0 + w * g1 * m1).astype(o_ref.dtype)
     o_ref[0] = res if out_lanes == lanes else res[:, :out_lanes]
 
 
@@ -334,14 +336,16 @@ def _bwd_kernel(
     al, ca, cb, de = p_ref[bi, 0], p_ref[bi, 1], p_ref[bi, 2], p_ref[bi, 3]
     d_a, d_b = _row_coords(db, blk)
     o_row = ca * d_a + cb * d_b + de  # [blk, 1]
-    v = v_ref[0]
+    # f32 conversion after the DMA (Mosaic lane-gather is 32-bit only).
+    v = v_ref[0].astype(jnp.float32)
     # Zero-pad the output cotangent to the input width (gather shape rule;
     # zeros are exactly the out-of-window contribution).
     if out_lanes == lanes:
-        g = g_ref[0]
+        g = g_ref[0].astype(jnp.float32)
     else:
         g = jnp.concatenate(
-            [g_ref[0], jnp.zeros((blk, lanes - out_lanes), jnp.float32)],
+            [g_ref[0].astype(jnp.float32),
+             jnp.zeros((blk, lanes - out_lanes), jnp.float32)],
             axis=1,
         )
 
@@ -374,13 +378,17 @@ def _bwd_kernel(
         valid = (wgt > 0.0) & (lt >= 0) & (lt <= out_lanes - 1)
         gl = jnp.take_along_axis(g, jnp.clip(lt, 0, lanes - 1), axis=1)
         acc = acc + jnp.where(valid, wgt * gl, 0.0)
-    gv_ref[0] = acc
+    gv_ref[0] = acc.astype(gv_ref.dtype)
 
 
-def _pass_call(kern_builder, vol, params, extras, out_widths, blk):
+def _pass_call(kern_builder, vol, params, extras, out_widths, blk,
+               out_dtypes=None):
     """Run a pass kernel. ``extras`` = [(arr, lane_width)] further tensor
-    inputs; ``out_widths`` = lane widths of the outputs."""
+    inputs; ``out_widths`` = lane widths of the outputs; ``out_dtypes``
+    their dtypes (default: all ``vol.dtype``)."""
     bc, r, lanes = vol.shape
+    if out_dtypes is None:
+        out_dtypes = [vol.dtype] * len(out_widths)
 
     def block(width):
         return pl.BlockSpec((1, blk, width), lambda b, rb: (b, rb, 0),
@@ -388,7 +396,8 @@ def _pass_call(kern_builder, vol, params, extras, out_widths, blk):
 
     out_specs = [block(w) for w in out_widths]
     out_shapes = [
-        jax.ShapeDtypeStruct((bc, r, w), jnp.float32) for w in out_widths
+        jax.ShapeDtypeStruct((bc, r, w), dt)
+        for w, dt in zip(out_widths, out_dtypes)
     ]
     single = len(out_widths) == 1
     return pl.pallas_call(
@@ -445,7 +454,8 @@ def _pass_bwd(db, taps, out_lanes, res, g):
         _bwd_kernel, db=db, lanes=lanes, out_lanes=ol, taps=taps, blk=blk
     )
     gv, gpos = _pass_call(
-        kern, vol, params, extras=[(g, ol)], out_widths=[lanes, ol], blk=blk
+        kern, vol, params, extras=[(g, ol)], out_widths=[lanes, ol], blk=blk,
+        out_dtypes=[vol.dtype, jnp.float32],  # pose grads accumulate in f32
     )
     rows = jnp.arange(r, dtype=jnp.float32)
     d_a = jnp.floor(rows / db)[None, :, None]
@@ -504,6 +514,7 @@ def rotate_resample_multipass(
     new_size: int = 128,
     crop_windows: dict | None = None,
     max_scale: float | None = None,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Fast multipass counterpart of ops.resample.rotate_resample.
 
@@ -518,12 +529,19 @@ def rotate_resample_multipass(
 
     ``max_scale``: static pose-scale bound narrowing the backward band
     (see build_pass_plan; gradients are wrong if violated).
+
+    ``compute_dtype``: dtype the volume DATA moves through the passes in
+    (geometry — pass coefficients, sample positions, interpolation
+    weights, pose gradients — always runs in float32). bfloat16 halves
+    the HBM traffic of every pass, flip, select and transpose in the
+    warp; with 0/1 occupancy inputs the per-pass rounding is ~3 ulp
+    (~0.4%), fine for training. The parity/`exact` paths stay float32.
     """
     b, s1, s2, s3, c = voxels.shape
     if size is None:
         size = s1
     n = new_size
-    vol = jnp.moveaxis(voxels.astype(jnp.float32), -1, 1).reshape(b * c, s1, s2, s3)
+    vol = jnp.moveaxis(voxels.astype(compute_dtype), -1, 1).reshape(b * c, s1, s2, s3)
     pad = (n - size) // 2
     pw = (pad, n - size - pad)
     vol = jnp.pad(vol, ((0, 0), pw, pw, pw))
@@ -603,11 +621,13 @@ def rotate_resample_to_camera_multipass(
     size: int | None = None,
     new_size: int = 128,
     max_scale: float | None = None,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Fast counterpart of rotate_resample_to_camera."""
     return voxel_to_image_axes(
         rotate_resample_multipass(
-            voxels, view_params, size, new_size, max_scale=max_scale
+            voxels, view_params, size, new_size, max_scale=max_scale,
+            compute_dtype=compute_dtype,
         )
     )
 
@@ -620,6 +640,7 @@ def rotate_resample_camera_patch_multipass(
     size: int | None = None,
     new_size: int = 128,
     max_scale: float | None = None,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Crop-fused fast path: equals
     ``rotate_resample_to_camera_multipass(...)[:, u0:u0+P, v0:v0+P]`` but the
@@ -640,6 +661,6 @@ def rotate_resample_camera_patch_multipass(
     return voxel_to_image_axes(
         rotate_resample_multipass(
             voxels, view_params, size, new_size, crop_windows=windows,
-            max_scale=max_scale,
+            max_scale=max_scale, compute_dtype=compute_dtype,
         )
     )

@@ -20,6 +20,7 @@ disappears entirely.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import NamedTuple, Optional, Tuple
 
@@ -111,11 +112,15 @@ def recon_forward(
     method = cfg.resample
     if method == "auto":
         method = "multipass" if jax.default_backend() == "tpu" else "exact"
-    warp = (
-        rotate_resample_to_camera_multipass
-        if method == "multipass"
-        else rotate_resample_to_camera
-    )
+    if method == "multipass":
+        # The warp's DATA rides the configured compute dtype (bf16 halves
+        # every pass/flip/transpose in both directions); geometry and pose
+        # gradients stay fp32 inside the kernels.
+        warp = functools.partial(
+            rotate_resample_to_camera_multipass, compute_dtype=cdt
+        )
+    else:
+        warp = rotate_resample_to_camera
     shape_cam = warp(shape, latents.pose, new_size=cfg.new_size)
     tex_cam = warp(tex.astype(jnp.float32), latents.pose, new_size=cfg.new_size)
     both = jnp.concatenate([shape_cam, tex_cam], axis=4)

@@ -70,7 +70,8 @@ def _resample_full(voxels, poses, cfg: TrainConfig):
     """Full camera-aligned grid via the configured resample kernel."""
     if _resample_method(cfg) == "multipass":
         return rotate_resample_to_camera_multipass(
-            voxels, poses, new_size=cfg.new_size, max_scale=cfg.pose_scale_limit
+            voxels, poses, new_size=cfg.new_size, max_scale=cfg.pose_scale_limit,
+            compute_dtype=_dtype(cfg.compute_dtype),
         )
     return rotate_resample_to_camera(voxels, poses, new_size=cfg.new_size)
 
@@ -84,6 +85,7 @@ def _resample_patch(voxels, poses, offsets, patch_size, cfg: TrainConfig):
         return rotate_resample_camera_patch_multipass(
             voxels, poses, offsets, patch_size, new_size=cfg.new_size,
             max_scale=cfg.pose_scale_limit,
+            compute_dtype=_dtype(cfg.compute_dtype),
         )
     return rotate_resample_camera_patch(
         voxels, poses, offsets, patch_size, new_size=cfg.new_size

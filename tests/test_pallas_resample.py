@@ -258,3 +258,41 @@ def test_taps_for_scale_bounds():
     assert _taps_for_scale(2.0) == 5
     with pytest.raises(ValueError):
         _taps_for_scale(0.0)
+
+
+def test_bf16_compute_matches_f32():
+    """bfloat16 compute_dtype: output tracks the f32 path within bf16
+    rounding; pose gradients stay f32 and stay accurate."""
+    vols = _blob()
+    poses = _poses()[3:4]
+
+    out32 = rotate_resample_multipass(vols, poses, new_size=N)
+    out16 = rotate_resample_multipass(
+        vols, poses, new_size=N, compute_dtype=jnp.bfloat16
+    )
+    assert out16.dtype == jnp.bfloat16
+    # blob peak is ~1; a few passes of bf16 rounding => ~1e-2 abs
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(out32), atol=2e-2
+    )
+
+    def loss(p, dt):
+        o = rotate_resample_multipass(vols, p, new_size=N, compute_dtype=dt)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g32 = jax.grad(loss)(poses, jnp.float32)
+    g16 = jax.grad(loss)(poses, jnp.bfloat16)
+    assert g16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(g16), np.asarray(g32), rtol=0.05, atol=0.05
+    )
+
+    # the voxel cotangent rides the compute dtype (it feeds bf16 params)
+    gv = jax.grad(
+        lambda v: jnp.sum(
+            rotate_resample_multipass(
+                v, poses, new_size=N, compute_dtype=jnp.bfloat16
+            ).astype(jnp.float32)
+        )
+    )(vols)
+    assert gv.shape == vols.shape
