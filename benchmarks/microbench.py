@@ -81,6 +81,26 @@ def main(batch: int = 24):
     )
     timeit("multipass_patch64_fwd_bwd", mpp, vox, pose)
 
+    # bf16 data path: halves the HBM traffic of every pass/flip/transpose;
+    # geometry + pose grads stay f32 inside the kernels.
+    mp16 = jax.jit(
+        lambda v, p: rotate_resample_multipass(
+            v, p, new_size=128, compute_dtype=jnp.bfloat16
+        )
+    )
+    timeit("multipass_fwd_bf16", mp16, vox, pose)
+    mpp16 = jax.jit(
+        jax.grad(
+            lambda v, p: jnp.sum(
+                rotate_resample_camera_patch_multipass(
+                    v, p, offs, 64, compute_dtype=jnp.bfloat16
+                ).astype(jnp.float32) ** 2
+            ),
+            argnums=(0, 1),
+        )
+    )
+    timeit("multipass_patch64_fwd_bwd_bf16", mpp16, vox, pose)
+
     if jax.default_backend() != "tpu":
         ex = jax.jit(lambda v, p: rotate_resample(v, p, new_size=128))
         timeit("exact_fwd", ex, vox, pose)
