@@ -479,32 +479,35 @@ apply_interp_pass.defvjp(_pass_fwd, _pass_bwd)
 # ---------------------------------------------------------------------------
 # full multipass warp
 # ---------------------------------------------------------------------------
-def _quarter_turn(vol: jnp.ndarray, plane: Tuple[int, int], k: jnp.ndarray):
-    """Exact per-sample k*90-degree turn of [BC, Z, Y, X] in ``plane``.
+def _qturn_swap(vol: jnp.ndarray, plane: Tuple[int, int], k: jnp.ndarray):
+    """Data movement of a per-sample quarter turn, flips deferred.
 
-    Array semantics match the _qturn_matrix convention: for plane (0,2)
-    (x,z), out[z,y,x] = vol[x, y, N-1-z] at k=1, etc.
+    A k*90-degree lattice turn factors into an axis transpose (k odd) plus
+    axis reversals:
+
+        rot1 = flip_a0 . swap,   rot2 = flip_a0 . flip_a1,
+        rot3 = flip_a1 . swap            (a0, a1 = the plane's array axes)
+
+    Only the transpose moves data in a k-dependent layout, so only it is
+    materialized (a 2-way select instead of the 4-way a vmapped lax.switch
+    lowers to — half the HBM traffic). The reversals are returned as
+    per-sample flags; the caller folds them into the next interp passes'
+    per-sample coefficients (coord -> N-1-coord is affine), where they cost
+    nothing.
+
+    ``vol`` is canonical [BC, Z, Y, X]; semantics match _qturn_matrix: for
+    plane (0,2) (x,z), k=1 is out[z,y,x] = vol[x, y, N-1-z], etc.
     """
     if plane == (0, 2):
         a0, a1 = 0, 2  # volume axes (Z, X) of the per-sample [Z, Y, X] array
     else:  # plane (0, 1) = (x, y) -> volume axes (Y, X)
         a0, a1 = 1, 2
-
-    def rot0(v):
-        return v
-
-    def rot1(v):
-        return jnp.flip(jnp.swapaxes(v, a0, a1), axis=a0)
-
-    def rot2(v):
-        return jnp.flip(v, axis=(a0, a1))
-
-    def rot3(v):
-        return jnp.flip(jnp.swapaxes(v, a0, a1), axis=a1)
-
-    return jax.vmap(
-        lambda v, kk: jax.lax.switch(kk, [rot0, rot1, rot2, rot3], v)
-    )(vol, k)
+    odd = (k % 2) == 1
+    swapped = jnp.swapaxes(vol, a0 + 1, a1 + 1)
+    vol = jnp.where(odd[:, None, None, None], swapped, vol)
+    flip_a0 = (k == 1) | (k == 2)
+    flip_a1 = (k == 2) | (k == 3)
+    return vol, (a0, flip_a0), (a1, flip_a1)
 
 
 def rotate_resample_multipass(
@@ -559,6 +562,12 @@ def rotate_resample_multipass(
                     f"touches it after its last interp pass"
                 )
     started: dict = {}  # logical axis -> traced window start (local coords)
+    # logical axis -> [BC] bool: axis is stored reversed (deferred qturn
+    # flip). An interp pass ON the axis absorbs and clears the flag; passes
+    # that merely read it as a row coordinate keep it deferred. The plan
+    # always interps every axis after its last qturn, so no flag survives
+    # to the output (asserted below).
+    flipped: dict = {}
 
     def per_c(x):
         return jnp.repeat(x, c, axis=0) if c > 1 else x
@@ -580,7 +589,10 @@ def rotate_resample_multipass(
         if step[0] == "qturn":
             plane, k = step[1], per_c(step[2])
             vol = to_canonical(vol, axes)
-            vol = _quarter_turn(vol, plane, k)
+            vol, (a0, f0), (a1, f1) = _qturn_swap(vol, plane, k)
+            for arr_ax, f in ((a0, f0), (a1, f1)):
+                lg = axes[arr_ax]
+                flipped[lg] = flipped[lg] ^ f if lg in flipped else f
             continue
         axis, coeffs, taps = step[1], per_c(step[2]), step[3]
         pos = axes.index(axis)
@@ -591,10 +603,20 @@ def rotate_resample_multipass(
         da, db, lanes = vol.shape[1], vol.shape[2], vol.shape[3]
         alpha = coeffs[:, axis]
         delta = coeffs[:, 3]
-        # Row coords of already-cropped axes are window-local; shift back.
-        for coord in (a_coord, b_coord):
+        # Row coords of already-cropped axes are window-local (shift back);
+        # row coords of flip-deferred axes are stored reversed (coord ->
+        # ext-1-coord folds into coefficient and delta, flag stays deferred).
+        row_c = {}
+        for coord, ext in ((a_coord, da), (b_coord, db)):
+            cval = coeffs[:, coord]
             if coord in started:
-                delta = delta + coeffs[:, coord] * started[coord]
+                delta = delta + cval * started[coord]
+            if coord in flipped:
+                f = flipped[coord]
+                delta = delta + jnp.where(f, cval * (ext - 1), 0.0)
+                cval = jnp.where(f, -cval, cval)
+            row_c[coord] = cval
+        ca, cb = row_c[a_coord], row_c[b_coord]
         out_lanes = None
         if axis in crop_windows and i == last_interp[axis]:
             start, win = crop_windows[axis]
@@ -602,14 +624,22 @@ def rotate_resample_multipass(
             delta = delta + alpha * start
             out_lanes = win
             started[axis] = start
-        params = jnp.stack(
-            [alpha, coeffs[:, a_coord], coeffs[:, b_coord], delta], axis=-1
-        )
+        if axis in flipped:
+            # Lane-axis flip: stored input is reversed, so every sample
+            # position maps pos -> lanes-1-pos. Absorbing it here clears
+            # the flag — this pass's output is stored in logical order.
+            f = flipped.pop(axis)
+            alpha = jnp.where(f, -alpha, alpha)
+            ca = jnp.where(f, -ca, ca)
+            cb = jnp.where(f, -cb, cb)
+            delta = jnp.where(f, jnp.float32(lanes - 1) - delta, delta)
+        params = jnp.stack([alpha, ca, cb, delta], axis=-1)
         vol = apply_interp_pass(
             vol.reshape(b * c, da * db, lanes), params, db, taps, out_lanes
         )
         vol = vol.reshape(b * c, da, db, -1)
 
+    assert not flipped, "internal: a deferred qturn flip survived the plan"
     vol = to_canonical(vol, axes)
     _, d1, d2, d3 = vol.shape
     return jnp.moveaxis(vol.reshape(b, c, d1, d2, d3), 1, -1)
