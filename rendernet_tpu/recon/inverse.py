@@ -268,14 +268,19 @@ def reconstruct(
     cfg: ReconConfig,
     seed: int = 0,
     callback=None,
+    run=None,
 ) -> Tuple[Latents, np.ndarray]:
     """Full coarse-to-fine reconstruction driver.
 
     Returns the final best latents (tiled batch) and the [epochs, B] matrix
     of end-of-epoch per-hypothesis losses. ``callback(epoch, latents,
-    losses)`` fires after each epoch for logging/dumps.
+    losses)`` fires after each epoch for logging/dumps. ``run`` reuses an
+    existing ``make_recon_step(model, cfg, scan_steps=cfg.inner_steps)``
+    runner (compiling the 3-network pipeline dominates cold-start; pass it
+    when reconstructing several targets with one model/config).
     """
-    run = make_recon_step(model, cfg, scan_steps=cfg.inner_steps)
+    if run is None:
+        run = make_recon_step(model, cfg, scan_steps=cfg.inner_steps)
     latents = initial_latents(cfg, seed)
     phi_range, theta_range = cfg.phi_range0, cfg.theta_range0
     history = []

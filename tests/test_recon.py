@@ -26,7 +26,7 @@ from rendernet_tpu.recon import (
 CFG = ReconConfig(
     z_dim=16,
     batch_size=5,
-    inner_steps=4,
+    inner_steps=3,
     max_epochs=2,
     new_size=32,
     light_elevation=(90 - 105) * math.pi / 180.0,
@@ -57,6 +57,12 @@ def single_step(model):
     """One compiled single-step optimizer shared across tests (compiling the
     3-network pipeline dominates this file's runtime)."""
     return make_recon_step(model, CFG)
+
+
+@pytest.fixture(scope="module")
+def scan_run(model):
+    """One compiled inner-loop scan, shared by the scan and driver tests."""
+    return make_recon_step(model, CFG, scan_steps=CFG.inner_steps)
 
 
 def test_create_param_center_matches_reference_semantics():
@@ -93,15 +99,15 @@ def test_recon_step_only_updates_latents_and_decreases_loss(model, single_step):
     assert lN.mean() < l0.mean()
 
 
-def test_recon_scan_matches_stepwise(model, single_step):
+def test_recon_scan_matches_stepwise(model, single_step, scan_run):
     target = jnp.full((5, 128, 128, 3), 0.4, jnp.float32)
-    run = make_recon_step(model, CFG, scan_steps=3)
+    run = scan_run
     step = single_step
     latents0 = initial_latents(CFG)
     scan_latents, scan_losses = run(latents0, target)
     latents = latents0
     manual_losses = []
-    for _ in range(3):
+    for _ in range(CFG.inner_steps):
         latents, losses = step(latents, target)
         manual_losses.append(np.asarray(losses))
     np.testing.assert_allclose(
@@ -112,11 +118,11 @@ def test_recon_scan_matches_stepwise(model, single_step):
     )
 
 
-def test_reconstruct_driver_runs_and_subdivides(model):
+def test_reconstruct_driver_runs_and_subdivides(model, scan_run):
     target = jnp.full((5, 128, 128, 3), 0.4, jnp.float32)
     seen = []
     latents, history = reconstruct(
-        model, target, CFG, callback=lambda e, l, f: seen.append(e)
+        model, target, CFG, callback=lambda e, l, f: seen.append(e), run=scan_run
     )
     assert history.shape == (2, 5)
     assert seen == [0, 1]
