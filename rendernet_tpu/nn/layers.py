@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from rendernet_tpu.nn import init as initializers
-from rendernet_tpu.ops import pallas_conv3d
+from rendernet_tpu.ops import pallas_conv2d, pallas_conv3d
 
 Params = Dict[str, jnp.ndarray]
 
@@ -143,6 +143,16 @@ DEPTH_PACK = "auto"
 # at training shapes. Same "auto"/True/False gating as DEPTH_PACK.
 PALLAS_CONV3D = "auto"
 
+# Implicit-GEMM Pallas kernel for the wide-channel 3x3 stride-1 convs of the
+# 2D res stacks (ops/pallas_conv2d.py). Same gating.
+PALLAS_CONV2D = "auto"
+
+
+def _pallas2d_enabled() -> bool:
+    if PALLAS_CONV2D != "auto":
+        return PALLAS_CONV2D
+    return jax.default_backend() == "tpu"
+
 
 def _depth_pack_factor(x: jnp.ndarray, w: jnp.ndarray, stride) -> int:
     """Pack factor for the stride-1 odd-kernel 3D conv, or 1 if ineligible.
@@ -235,6 +245,12 @@ def _conv_op(x: jnp.ndarray, w: jnp.ndarray, stride, ndim: int) -> jnp.ndarray:
         f = _depth_pack_factor(x, w, stride)
         if f > 1:
             return _depth_packed_conv(x, w, f)
+    if (
+        ndim == 2
+        and _pallas2d_enabled()
+        and pallas_conv2d.wc_conv2d_supported(x.shape, w.shape, tuple(stride))
+    ):
+        return pallas_conv2d.wc_conv2d(x, w)
     return lax.conv_general_dilated(
         x,
         w,
@@ -504,6 +520,22 @@ def res_block_stack(
     if kernel is None:
         kernel = (3,) * ndim
     block_fn = res_block_2d if ndim == 2 else res_block_3d
+    if (
+        not m.initializing
+        and ndim == 2
+        and tuple(kernel) == (3, 3)
+        and x.shape[-1] == out_channels
+        and _pallas2d_enabled()
+        and pallas_conv2d.wc_conv2d_supported(
+            x.shape, (3, 3, x.shape[-1], out_channels), (1, 1)
+        )
+    ):
+        # HWNC-resident stack: one transpose pair brackets the whole stack
+        # and every conv runs the implicit-GEMM Pallas kernel in its native
+        # layout (bias/PReLU/residual are elementwise — layout-agnostic).
+        return _res_stack_hwnc(
+            m, x, n_blocks, scope_fmt, activation, use_scan, remat
+        )
     if m.initializing or not use_scan or n_blocks <= 1:
         for i in range(1, n_blocks + 1):
             fn = lambda y, i=i: block_fn(
@@ -549,6 +581,56 @@ def res_block_stack(
         body = jax.checkpoint(body)
     x, _ = lax.scan(body, x.astype(cdt), tuple(xs))
     return x
+
+
+def _res_stack_hwnc(
+    m: Module,
+    x: jnp.ndarray,
+    n_blocks: int,
+    scope_fmt: str,
+    activation: str,
+    use_scan: bool,
+    remat: bool,
+) -> jnp.ndarray:
+    """Apply-mode res-block stack resident in the Pallas conv2d kernel's
+    HWNC layout. Identical math and parameter naming to the res_block_2d
+    loop; supports both the unrolled and lax.scan stack forms."""
+    cdt = m.compute_dtype
+    has_prelu = activation == "prelu"
+    names = ["con1_3X3/weights", "con1_3X3/biases"]
+    if has_prelu:
+        names.append("alpha")
+    names += ["conv2_3x3/weights", "conv2_3x3/biases"]
+
+    def fetch(i: int, rel: str) -> jnp.ndarray:
+        return m.params[m.path(scope_fmt.format(i)) + "/" + rel].astype(cdt)
+
+    def body(h, ws):
+        if has_prelu:
+            w1, b1, al, w2, b2 = ws
+        else:
+            w1, b1, w2, b2 = ws
+        net = pallas_conv2d.wc_conv2d_hwnc(h, w1) + b1
+        if has_prelu:
+            net = jnp.maximum(net, 0.0) + al * jnp.minimum(net, 0.0)
+        else:
+            net = jnp.maximum(net, 0.0)
+        net = pallas_conv2d.wc_conv2d_hwnc(net, w2) + b2
+        return (net + h).astype(cdt), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    xh = pallas_conv2d.nhwc_to_hwnc(x.astype(cdt))
+    if use_scan and n_blocks > 1:
+        xs = tuple(
+            jnp.stack([fetch(i, nm) for i in range(1, n_blocks + 1)])
+            for nm in names
+        )
+        xh, _ = lax.scan(body, xh, xs)
+    else:
+        for i in range(1, n_blocks + 1):
+            xh, _ = body(xh, tuple(fetch(i, nm) for nm in names))
+    return pallas_conv2d.hwnc_to_nhwc(xh)
 
 
 def projection_unit(

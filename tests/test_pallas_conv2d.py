@@ -1,0 +1,143 @@
+"""Tests for the implicit-GEMM Pallas 2D conv (ops/pallas_conv2d.py).
+
+On CPU the kernel runs in Pallas interpret mode; the oracle is XLA's plain
+stride-1 SAME conv (reference semantics: tools/layer_util.py:147-185 as used
+by res_block_2d :91-121).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rendernet_tpu.nn import layers
+from rendernet_tpu.nn.layers import Module
+from rendernet_tpu.ops.pallas_conv2d import (
+    wc_conv2d,
+    wc_conv2d_supported,
+)
+
+
+def plain(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+@pytest.mark.parametrize(
+    "shape,co",
+    [
+        ((2, 4, 8, 256), 128),  # bn=128, ci != co
+        ((1, 2, 8, 256), 256),  # bn=256 path
+        ((3, 4, 16, 384), 128),  # odd-ish batch, W=16
+    ],
+)
+def test_wc_conv2d_matches_plain(rng, shape, co):
+    ci = shape[-1]
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    w = jnp.asarray(
+        (rng.standard_normal((3, 3, ci, co)) * 0.05).astype(np.float32)
+    )
+    assert wc_conv2d_supported(x.shape, w.shape, (1, 1))
+    np.testing.assert_allclose(
+        np.asarray(wc_conv2d(x, w)), np.asarray(plain(x, w)), atol=1e-4
+    )
+
+
+def test_wc_conv2d_grads_match_plain(rng):
+    """Custom VJP (data grad via flipped-kernel conv, weight grad via the
+    pinned-accumulator kernel) equals XLA's autodiff of the plain conv,
+    including ci != co (the adjoint conv swaps them)."""
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 256)).astype(np.float32))
+    w = jnp.asarray(
+        (rng.standard_normal((3, 3, 256, 128)) * 0.05).astype(np.float32)
+    )
+    gy = jnp.asarray(rng.standard_normal((2, 4, 8, 128)).astype(np.float32))
+
+    def loss(fn):
+        return lambda x, w: jnp.sum(fn(x, w) * gy)
+
+    gx_k, gw_k = jax.grad(loss(wc_conv2d), (0, 1))(x, w)
+    gx_r, gw_r = jax.grad(loss(plain), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_k), np.asarray(gw_r), atol=1e-4)
+
+
+def test_supported_guards():
+    w = (3, 3, 256, 256)
+    assert wc_conv2d_supported((2, 4, 8, 256), w, (1, 1))
+    # strided / non-3x3 / narrow or unaligned channels / rank
+    assert not wc_conv2d_supported((2, 4, 8, 256), w, (2, 1))
+    assert not wc_conv2d_supported((2, 4, 8, 256), (5, 5, 256, 256), (1, 1))
+    assert not wc_conv2d_supported((2, 4, 8, 128), (3, 3, 128, 128), (1, 1))
+    assert not wc_conv2d_supported((2, 4, 8, 192), (3, 3, 192, 256), (1, 1))
+    assert not wc_conv2d_supported((2, 4, 8), w, (1, 1))
+
+
+def test_conv2d_dispatch_uses_kernel(rng):
+    """conv2d routes eligible shapes through the Pallas kernel when forced
+    on, and the layer output still matches the default lowering."""
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 256)).astype(np.float32))
+    outs = {}
+    mi = Module(rng=jax.random.PRNGKey(3))
+    layers.conv2d(mi, x, 256, (3, 3), (1, 1), scope="c")
+    for forced in (True, False):
+        old = layers.PALLAS_CONV2D
+        layers.PALLAS_CONV2D = forced
+        try:
+            m = Module(params=mi.params)
+            outs[forced] = np.asarray(
+                layers.conv2d(m, x, 256, (3, 3), (1, 1), scope="c")
+            )
+        finally:
+            layers.PALLAS_CONV2D = old
+    np.testing.assert_allclose(outs[True], outs[False], atol=1e-4)
+
+
+@pytest.mark.parametrize("use_scan", [False, True])
+def test_res_stack_hwnc_matches_reference_path(rng, use_scan):
+    """The HWNC-resident stack (one transpose pair, Pallas convs, scan or
+    unrolled) matches the plain res_block_2d loop bit-for-bit in fp32."""
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 256)).astype(np.float32))
+    mi = Module(rng=jax.random.PRNGKey(0))
+    layers.res_block_stack(mi, x, 3, 256, "blk_{}", ndim=2)
+    outs = {}
+    for forced in (True, False):
+        old = layers.PALLAS_CONV2D
+        layers.PALLAS_CONV2D = forced
+        try:
+            m = Module(params=mi.params)
+            outs[forced] = np.asarray(
+                layers.res_block_stack(
+                    m, x, 3, 256, "blk_{}", ndim=2, use_scan=use_scan
+                )
+            )
+        finally:
+            layers.PALLAS_CONV2D = old
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-4)
+
+
+def test_res_stack_hwnc_grads(rng):
+    """Gradients through the HWNC stack match the reference path for both
+    params and input."""
+    x = jnp.asarray(rng.standard_normal((1, 2, 8, 256)).astype(np.float32))
+    mi = Module(rng=jax.random.PRNGKey(1))
+    layers.res_block_stack(mi, x, 2, 256, "blk_{}", ndim=2)
+    params = mi.params
+
+    def loss(params, x, forced):
+        old = layers.PALLAS_CONV2D
+        layers.PALLAS_CONV2D = forced
+        try:
+            m = Module(params=params)
+            y = layers.res_block_stack(m, x, 2, 256, "blk_{}", ndim=2)
+        finally:
+            layers.PALLAS_CONV2D = old
+        return jnp.sum(y**2)
+
+    gp_k, gx_k = jax.grad(lambda p, x: loss(p, x, True), (0, 1))(params, x)
+    gp_r, gx_r = jax.grad(lambda p, x: loss(p, x, False), (0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_r), atol=2e-4)
+    for k in gp_r:
+        np.testing.assert_allclose(
+            np.asarray(gp_k[k]), np.asarray(gp_r[k]), atol=2e-4, err_msg=k
+        )
