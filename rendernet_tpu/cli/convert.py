@@ -7,6 +7,10 @@ Subcommands:
   npz-to-refdir — our .npz archive -> reference-format *.txt.npz directory.
   refdir-to-npz — reference weight dir -> our .npz archive (requires the
                   matching --model to derive param paths).
+  freeze        — params (.npz or reference weight dir) -> portable frozen
+                  StableHLO artifact with the weights baked in as constants
+                  (the demo/RenderNet_converter.py:3-18 frozen-.pb analog;
+                  load with compat.load_frozen, run via .call).
 """
 from __future__ import annotations
 
@@ -31,6 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
     c3.add_argument("--model", type=str, default="shader",
                     choices=["shader", "texture", "recon-renderer",
                              "shape-decoder", "recon-texture"])
+
+    c4 = sub.add_parser("freeze")
+    c4.add_argument("weights", type=str,
+                    help=".npz params file or reference *.txt.npz weight dir")
+    c4.add_argument("out", type=str)
+    c4.add_argument("--batch", type=int, default=1)
+    c4.add_argument("--voxel_size", type=int, default=64)
+    c4.add_argument("--out_channels", type=int, default=3)
+    c4.add_argument("--platforms", type=str, default="cpu,tpu",
+                    help="comma-separated lowering targets")
     return p
 
 
@@ -76,7 +90,31 @@ def main(argv=None):
         save_params_npz,
     )
 
-    if args.cmd == "ckpt-to-npz":
+    if args.cmd == "freeze":
+        import os as _os
+
+        from rendernet_tpu.compat import freeze_shader_render, save_frozen
+        from rendernet_tpu.models.shader import ShaderConfig
+
+        cfg = ShaderConfig(out_channels=args.out_channels)
+        if _os.path.isdir(args.weights):
+            import jax as _jax
+
+            from rendernet_tpu.models.shader import init_shader_params
+
+            template = init_shader_params(_jax.random.PRNGKey(0), cfg)
+            params = params_from_weight_dict(
+                template, load_reference_weight_dir(args.weights), strict=False
+            )
+        else:
+            params = load_params_npz(args.weights)
+        exported = freeze_shader_render(
+            params, cfg, batch=args.batch, voxel_size=args.voxel_size,
+            platforms=tuple(args.platforms.split(",")),
+        )
+        save_frozen(exported, args.out)
+        print(f"froze shader render ({args.platforms}) to {args.out}")
+    elif args.cmd == "ckpt-to-npz":
         # Checkpoints store numbered leaves; training runs also write a
         # params npz next to them — prefer that when present.
         import os as _os

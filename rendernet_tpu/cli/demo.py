@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --rotate: also write the sweep as a GIF here")
     p.add_argument("--weights", type=str, default="",
                    help=".npz params file or reference *.txt.npz weight dir")
+    p.add_argument("--frozen", type=str, default="",
+                   help="frozen StableHLO artifact from `convert freeze` "
+                        "(no model code or weights needed — the reference's "
+                        "frozen-.pb demo path, RenderNet_demo.py:23-30)")
     p.add_argument("--out_channels", type=int, default=3,
                    help="shader head channels (3 = normal-map demo net)")
     return p
@@ -63,7 +67,13 @@ def main(argv=None):
     from rendernet_tpu.utils.image import save_gif, save_image, to_uint8
 
     cfg = ShaderConfig(out_channels=args.out_channels)
-    if args.weights:
+    if args.frozen:
+        from rendernet_tpu.compat import load_frozen
+
+        exported = load_frozen(args.frozen)
+        params = None
+        render_from = jax.jit(exported.call)
+    elif args.weights:
         from rendernet_tpu.compat import load_reference_weight_dir, params_from_weight_dict
         from rendernet_tpu.train.checkpoint import load_params_npz
 
@@ -86,9 +96,12 @@ def main(argv=None):
     model_name = os.path.basename(args.voxel_path).split(".binvox")[0]
     light_dir = np_generate_light_pos(args.light_elevation, args.light_azimuth)
 
-    render_fn = jax.jit(
-        lambda p, v, q: shader_forward(p, v, q, cfg), static_argnums=()
-    )
+    if args.frozen:
+        render_fn = lambda p, v, q: render_from(v, q)  # noqa: E731
+    else:
+        render_fn = jax.jit(
+            lambda p, v, q: shader_forward(p, v, q, cfg), static_argnums=()
+        )
 
     def render_one(azimuth, count):
         pose = jnp.asarray(compute_pose_param(azimuth, args.elevation, args.radius))
