@@ -69,6 +69,13 @@ class TrainConfig:
     profile_steps: int = 5
     data_parallel: Optional[int] = None  # None = all local devices
     nan_guard: bool = True  # halt with a clear error on non-finite loss
+    # Failure recovery: when > 0, non-finite gradient updates are skipped
+    # on-device (optax.apply_if_finite) instead of halting — params and
+    # optimizer state stay clean through transient spikes. The loop logs
+    # each skip and halts only after this many CONSECUTIVE bad steps
+    # (at which point apply_if_finite would give up and accept the bad
+    # update, so we stop just before poisoning the params).
+    skip_nonfinite_updates: int = 0
     # Cache device-resident batches across epochs (small, deterministic
     # datasets only — eliminates repeat host->device transfers entirely).
     cache_chunks: bool = False

@@ -48,6 +48,29 @@ from rendernet_tpu.utils.image import save_image, to_uint8
 __all__ = ["train_shader", "train_texture"]
 
 
+def _guard_loss(cfg: TrainConfig, run, state, global_step: int, epoch: int,
+                loss: float) -> None:
+    """Non-finite-loss policy (failure detection/recovery — SURVEY.md §5;
+    the reference has none). With ``skip_nonfinite_updates`` the optimizer
+    already rejected the bad update on-device (optax.apply_if_finite), so
+    training continues through transient spikes; we halt only just before
+    the wrapper would give up and accept a bad update."""
+    if not (cfg.nan_guard and not np.isfinite(loss)):
+        return
+    if cfg.skip_nonfinite_updates > 0:
+        consecutive = int(state.opt_state.notfinite_count)
+        run.log(step=global_step, epoch=epoch, loss=loss,
+                event="nonfinite_update_skipped", consecutive=consecutive)
+        if consecutive < cfg.skip_nonfinite_updates:
+            return
+        raise FloatingPointError(
+            f"{consecutive} consecutive non-finite updates at step "
+            f"{global_step}; halting before poisoning params"
+        )
+    run.log(step=global_step, epoch=epoch, loss=loss, event="non_finite_loss")
+    raise FloatingPointError(f"non-finite loss {loss} at step {global_step}")
+
+
 def _profile_window(cfg: TrainConfig, global_step: int) -> None:
     """Start/stop a jax.profiler trace around the configured step window
     (observability upgrade over the reference's wall-clock prints,
@@ -188,12 +211,7 @@ def train_shader(
                 _profile_window(cfg, global_step)
                 state, loss = step_fn(state, *batch, step_key)
                 global_step += 1
-                if cfg.nan_guard and not np.isfinite(float(loss)):
-                    run.log(step=global_step, epoch=epoch, loss=float(loss),
-                            event="non_finite_loss")
-                    raise FloatingPointError(
-                        f"non-finite loss {float(loss)} at step {global_step}"
-                    )
+                _guard_loss(cfg, run, state, global_step, epoch, float(loss))
                 if progress is not None:
                     progress(global_step, float(loss))
                 if global_step % cfg.sample_every_steps == 0:
@@ -304,12 +322,7 @@ def train_texture(
                 _profile_window(cfg, global_step)
                 state, loss = step_fn(state, *batch, step_key)
                 global_step += 1
-                if cfg.nan_guard and not np.isfinite(float(loss)):
-                    run.log(step=global_step, epoch=epoch, loss=float(loss),
-                            event="non_finite_loss")
-                    raise FloatingPointError(
-                        f"non-finite loss {float(loss)} at step {global_step}"
-                    )
+                _guard_loss(cfg, run, state, global_step, epoch, float(loss))
                 if progress is not None:
                     progress(global_step, float(loss))
                 if global_step % cfg.sample_every_steps == 0:

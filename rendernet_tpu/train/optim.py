@@ -30,10 +30,17 @@ def make_optimizer(
     b1: float = 0.5,
     b2: float = 0.999,
     eps: float = 1e-8,
+    skip_nonfinite: int = 0,
 ) -> optax.GradientTransformation:
-    return optax.adam(
+    """Reference Adam; ``skip_nonfinite > 0`` additionally rejects updates
+    with NaN/Inf gradients on-device for up to that many consecutive steps
+    (failure recovery — the reference has none, SURVEY.md §5)."""
+    tx = optax.adam(
         learning_rate=exponential_staircase(e_eta, decay_steps, decay_rate),
         b1=b1,
         b2=b2,
         eps=eps,
     )
+    if skip_nonfinite > 0:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
+    return tx

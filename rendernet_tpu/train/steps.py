@@ -126,7 +126,8 @@ def create_shader_state(
     from rendernet_tpu.models.shader import init_shader_params
 
     params = init_shader_params(rng, model_cfg)
-    tx = make_optimizer(cfg.e_eta, cfg.decay_steps, cfg.decay_rate)
+    tx = make_optimizer(cfg.e_eta, cfg.decay_steps, cfg.decay_rate,
+                        skip_nonfinite=cfg.skip_nonfinite_updates)
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
 
 
@@ -194,7 +195,8 @@ def create_texture_state(
     from rendernet_tpu.models.texture_face import init_texture_face_params
 
     params = init_texture_face_params(rng, model_cfg)
-    tx = make_optimizer(cfg.e_eta, cfg.decay_steps, cfg.decay_rate)
+    tx = make_optimizer(cfg.e_eta, cfg.decay_steps, cfg.decay_rate,
+                        skip_nonfinite=cfg.skip_nonfinite_updates)
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
 
 

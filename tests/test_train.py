@@ -240,3 +240,64 @@ def test_data_loader_shard_striding(tmp_path):
     assert set(n0) | set(n1) == set(all_names)
     assert set(n0).isdisjoint(set(n1)) or len(set(all_names)) < 8
     assert len(set(n0)) == 4 and len(set(n1)) == 4
+
+
+def test_skip_nonfinite_updates_rejects_bad_step(rng):
+    """Failure recovery (SURVEY.md §5 — reference has none): a step whose
+    gradients are non-finite leaves params and inner Adam state untouched
+    when skip_nonfinite_updates is on; a following good step applies and
+    resets the counter."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, skip_nonfinite_updates=3)
+    state, tx = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, cfg)
+    step = make_shader_train_step(TINY_MODEL, cfg, tx, patch_size=32)
+    vox, images, poses = _tiny_batch(rng)
+    key = jax.random.PRNGKey(1)
+
+    params_before = jax.tree.map(np.asarray, state.params)
+    bad_images = images.at[0, 0, 0, 0].set(jnp.nan)
+    state, loss = step(state, vox, bad_images, poses, key)
+    assert not np.isfinite(float(loss))
+    assert int(state.opt_state.notfinite_count) == 1
+    assert int(state.step) == 1  # step counter still advances
+    for k, v in state.params.items():
+        np.testing.assert_array_equal(np.asarray(v), params_before[k], err_msg=k)
+
+    state, loss = step(state, vox, jnp.full_like(images, 0.25), poses, key)
+    assert np.isfinite(float(loss))
+    assert int(state.opt_state.notfinite_count) == 0
+    changed = any(
+        not np.array_equal(np.asarray(v), params_before[k])
+        for k, v in state.params.items()
+    )
+    assert changed
+
+
+def test_guard_loss_halt_policies():
+    """_guard_loss: halt immediately without skipping; with skipping, pass
+    through below the consecutive limit and halt at it."""
+    import dataclasses
+    from types import SimpleNamespace
+
+    from rendernet_tpu.train.loop import _guard_loss
+
+    events = []
+    run = SimpleNamespace(log=lambda **kw: events.append(kw))
+
+    plain = TINY
+    with pytest.raises(FloatingPointError):
+        _guard_loss(plain, run, None, 5, 0, float("nan"))
+
+    skip = dataclasses.replace(TINY, skip_nonfinite_updates=2)
+    state = SimpleNamespace(opt_state=SimpleNamespace(notfinite_count=1))
+    _guard_loss(skip, run, state, 6, 0, float("nan"))  # tolerated
+    state = SimpleNamespace(opt_state=SimpleNamespace(notfinite_count=2))
+    with pytest.raises(FloatingPointError):
+        _guard_loss(skip, run, state, 7, 0, float("nan"))
+    _guard_loss(skip, run, state, 8, 0, 1.25)  # finite: no-op
+    assert [e["event"] for e in events] == [
+        "non_finite_loss",
+        "nonfinite_update_skipped",
+        "nonfinite_update_skipped",
+    ]
