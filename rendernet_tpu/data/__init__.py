@@ -9,6 +9,7 @@ from rendernet_tpu.data.loaders import (
     data_loader,
     data_loader_image_texture_normal_face,
 )
+from rendernet_tpu.data.prefetch import prefetch
 from rendernet_tpu.data.synthetic import (
     make_synthetic_shader_tar,
     synthetic_face_dataset,
@@ -23,4 +24,5 @@ __all__ = [
     "data_loader_image_texture_normal_face",
     "make_synthetic_shader_tar",
     "synthetic_face_dataset",
+    "prefetch",
 ]

@@ -79,6 +79,11 @@ class TrainConfig:
     # Cache device-resident batches across epochs (small, deterministic
     # datasets only — eliminates repeat host->device transfers entirely).
     cache_chunks: bool = False
+    # Background input pipeline: decode up to this many chunks ahead on a
+    # host thread so PNG/binvox decode overlaps device compute (the
+    # reference's generators are synchronous — tools/data_util.py:64).
+    # 0 = synchronous.
+    prefetch_chunks: int = 2
     new_size: int = 128
     seed: int = 0
 

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rendernet_tpu.data.loaders import data_loader, data_loader_image_texture_normal_face
+from rendernet_tpu.data.prefetch import prefetch
 from rendernet_tpu.models.shader import ShaderConfig
 from rendernet_tpu.models.texture_face import TextureFaceConfig
 from rendernet_tpu.train.checkpoint import (
@@ -185,6 +186,7 @@ def train_shader(
             voxel_res=cfg.voxel_res,
             shard=(pidx, pcount) if pcount > 1 else None,
         )
+        loader = prefetch(loader, cfg.prefetch_chunks)
         for chunk_idx, (images, voxels, poses, names) in enumerate(loader):
             _check_pose_scales(poses, cfg)
             # compact uint8 feed: 4x less host->device traffic (lossless);
@@ -302,6 +304,7 @@ def train_texture(
             voxel_res=cfg.voxel_res,
             shard=(pidx, pcount) if pcount > 1 else None,
         )
+        loader = prefetch(loader, cfg.prefetch_chunks)
         for images, normals, voxels, textures, poses, names in loader:
             _check_pose_scales(poses, cfg)
             images_u8 = np.clip(images, 0, 255).astype(np.uint8)

@@ -98,3 +98,86 @@ def test_face_loader(tmp_path):
     assert normals.shape == (1, 128, 128, 3)
     assert texs.shape == (1, 199)
     assert mods.max() == 1.0
+
+
+# ---------------------------------------------------------------------------
+# background prefetch (data/prefetch.py)
+# ---------------------------------------------------------------------------
+def test_prefetch_preserves_order_and_content():
+    from rendernet_tpu.data.prefetch import prefetch
+
+    items = [np.full((4, 4), i) for i in range(17)]
+    out = list(prefetch(iter(items), depth=3))
+    assert len(out) == 17
+    for i, a in enumerate(out):
+        np.testing.assert_array_equal(a, items[i])
+
+
+def test_prefetch_depth_zero_is_synchronous():
+    from rendernet_tpu.data.prefetch import prefetch
+
+    it = iter([1, 2, 3])
+    assert prefetch(it, depth=0) is it
+
+
+def test_prefetch_propagates_producer_exception():
+    from rendernet_tpu.data.prefetch import prefetch
+
+    def gen():
+        yield 1
+        yield 2
+        raise ValueError("decode failed")
+
+    p = prefetch(gen(), depth=2)
+    assert next(p) == 1
+    assert next(p) == 2
+    with pytest.raises(ValueError, match="decode failed"):
+        next(p)
+
+
+def test_prefetch_early_break_stops_producer():
+    import threading
+    import time
+
+    from rendernet_tpu.data.prefetch import prefetch
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    p = prefetch(gen(), depth=2)
+    for item in p:
+        if item == 3:
+            break
+    p.close()
+    time.sleep(0.3)  # let the producer notice the close
+    n = len(produced)
+    time.sleep(0.2)
+    assert len(produced) == n  # no further production after close
+    assert n < 1000
+    assert threading.active_count() < 20  # no thread leak across tests
+
+
+def test_prefetch_wraps_real_data_loader(tmp_path):
+    """prefetch(data_loader(...)) yields the same chunks as the plain
+    loader on a real synthetic tar."""
+    from rendernet_tpu.data.loaders import data_loader
+    from rendernet_tpu.data.prefetch import prefetch
+    from rendernet_tpu.data.synthetic import make_synthetic_shader_tar
+
+    img_tar, model_dir = make_synthetic_shader_tar(
+        str(tmp_path), [os.path.join(ASSETS, "chair.binvox")] * 2,
+        poses_deg=((30, 60), (120, 75)), img_res=128,
+    )
+    kw = dict(batch_size=2, batches_chunk=1, img_res=128, flatten=True)
+    plain = list(data_loader(img_tar, model_dir, **kw))
+    fetched = list(prefetch(data_loader(img_tar, model_dir, **kw), depth=2))
+    assert len(plain) == len(fetched)
+    for (ia, va, pa, na), (ib, vb, pb, nb) in zip(plain, fetched):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(va, vb)
+        np.testing.assert_array_equal(pa, pb)
+        assert na == nb
