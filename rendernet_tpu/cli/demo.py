@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--render_dir", type=str, default="./render")
     p.add_argument("--rotate", action="store_true",
                    help="render a full 360-degree azimuth sweep (step 5)")
+    p.add_argument("--sweep_batch", type=int, default=8,
+                   help="frames per device batch in --rotate sweeps (the "
+                        "reference renders one frame per session run, "
+                        "RenderNet_demo.py:130-137; batching fills the MXU)")
     p.add_argument("--gif", type=str, default="",
                    help="with --rotate: also write the sweep as a GIF here")
     p.add_argument("--weights", type=str, default="",
@@ -103,34 +107,54 @@ def main(argv=None):
             lambda p, v, q: shader_forward(p, v, q, cfg), static_argnums=()
         )
 
-    def render_one(azimuth, count):
-        pose = jnp.asarray(compute_pose_param(azimuth, args.elevation, args.radius))
-        normal_map = np.asarray(render_fn(params, jnp.asarray(voxel), pose))
-        if normal_map.shape[-1] == 1:
-            img = normal_map[0, :, :, 0]
-        else:
-            img = np_phong_composite(
-                normal_map, light_dir, LIGHT_COL, AMBIENT_IN, K_DIFFUSE
-            )[0]
-        name = (
-            f"{count:03d}_{model_name}_pose_{azimuth:f}_{args.elevation:f}_"
-            f"{args.radius:f}_light_{args.light_azimuth:f}_{args.light_elevation:f}.png"
+    def render_batch(azimuths, counts):
+        """Render a batch of azimuths in one device dispatch. One jit
+        specialization per batch size; sweeps pad the tail to keep it to
+        two executables (full + remainder)."""
+        poses = jnp.asarray(
+            np.concatenate(
+                [compute_pose_param(a, args.elevation, args.radius) for a in azimuths]
+            )
         )
-        path = os.path.join(args.render_dir, name)
-        save_image(to_uint8(img, 255.0), path)
-        print(path)
-        return img
+        vox_b = jnp.asarray(np.repeat(voxel, len(azimuths), axis=0))
+        normal_maps = np.asarray(render_fn(params, vox_b, poses))
+        if normal_maps.shape[-1] == 1:
+            imgs = normal_maps[:, :, :, 0]
+        else:
+            imgs = np_phong_composite(
+                normal_maps, light_dir, LIGHT_COL, AMBIENT_IN, K_DIFFUSE
+            )
+        out = []
+        for azimuth, count, img in zip(azimuths, counts, imgs):
+            if count is None:  # tail padding
+                continue
+            name = (
+                f"{count:03d}_{model_name}_pose_{azimuth:f}_{args.elevation:f}_"
+                f"{args.radius:f}_light_{args.light_azimuth:f}_{args.light_elevation:f}.png"
+            )
+            path = os.path.join(args.render_dir, name)
+            save_image(to_uint8(img, 255.0), path)
+            print(path)
+            out.append(img)
+        return out
 
     if args.rotate:
-        frames = [
-            render_one(float(azimuth), count)
-            for count, azimuth in enumerate(np.arange(0.0, 360.0, 5.0))
-        ]
+        # Frozen artifacts have a fixed batch; live nets batch the sweep.
+        bs = 1 if args.frozen else max(1, args.sweep_batch)
+        azimuths = [float(a) for a in np.arange(0.0, 360.0, 5.0)]
+        frames = []
+        for start in range(0, len(azimuths), bs):
+            chunk = azimuths[start : start + bs]
+            counts = list(range(start, start + len(chunk)))
+            while len(chunk) < bs:  # pad tail: reuse the last pose
+                chunk = chunk + [chunk[-1]]
+                counts = counts + [None]
+            frames.extend(render_batch(chunk, counts))
         if args.gif:
             save_gif([to_uint8(f, 255.0) for f in frames], args.gif)
             print(args.gif)
     else:
-        render_one(args.azimuth, 0)
+        render_batch([args.azimuth], [0])
 
 
 if __name__ == "__main__":
