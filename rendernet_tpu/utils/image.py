@@ -22,7 +22,16 @@ def _require_pil():
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Decode an encoded image byte string to an HW or HWC uint8 array."""
+    """Decode an encoded image byte string to an HW or HWC uint8 array.
+
+    PNGs take the native C++ fast path (native/imgio.cc — releases the
+    GIL, so prefetch threads decode in parallel); anything outside its
+    envelope falls back to PIL."""
+    from rendernet_tpu.io import native_img
+
+    decoded = native_img.decode_png(buf)
+    if decoded is not None:
+        return decoded
     _require_pil()
     with Image.open(io.BytesIO(buf)) as im:
         return np.asarray(im)

@@ -116,3 +116,69 @@ def test_decode_bytes_helper():
 
     ref = binvox.read_as_3d_array(_io.BytesIO(buf)).data
     np.testing.assert_array_equal(binvox.decode_bytes(buf), ref)
+
+
+# ---------------------------------------------------------------------------
+# native PNG decoder (native/imgio.cc via io/native_img.py)
+# ---------------------------------------------------------------------------
+def test_native_png_decode_parity_synthetic():
+    import io as _io
+
+    from PIL import Image
+
+    from rendernet_tpu.io import native_img
+
+    if not native_img.available():
+        pytest.skip("native imgio not built")
+    rng = np.random.default_rng(0)
+    for shape in [(37, 53), (64, 64, 3), (33, 41, 4), (128, 256, 3)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        got = native_img.decode_png(buf.getvalue())
+        assert got is not None
+        np.testing.assert_array_equal(got, arr)
+
+
+def test_native_png_decode_parity_reference_assets():
+    import glob
+    import io as _io
+
+    from PIL import Image
+
+    from rendernet_tpu.io import native_img
+
+    if not native_img.available():
+        pytest.skip("native imgio not built")
+    paths = glob.glob("/root/reference/data/*.png")
+    assert paths
+    for p in paths:
+        data = open(p, "rb").read()
+        pil = np.asarray(Image.open(_io.BytesIO(data)))
+        got = native_img.decode_png(data)
+        assert got is not None, p
+        np.testing.assert_array_equal(got, pil, err_msg=p)
+
+
+def test_native_png_decode_rejects_non_png():
+    from rendernet_tpu.io import native_img
+
+    if not native_img.available():
+        pytest.skip("native imgio not built")
+    assert native_img.decode_png(b"not a png at all") is None
+
+
+def test_decode_image_uses_native_path_and_matches_pil():
+    """utils.decode_image (the tar loader's decoder) must keep byte parity
+    with PIL now that PNGs take the native path."""
+    import io as _io
+
+    from PIL import Image
+
+    from rendernet_tpu.utils.image import decode_image
+
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 256, size=(64, 48, 3), dtype=np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    np.testing.assert_array_equal(decode_image(buf.getvalue()), arr)
