@@ -25,6 +25,9 @@ def main(argv=None):
     if cmd not in COMMANDS:
         print(f"unknown command: {cmd!r}; one of {list(COMMANDS)}", file=sys.stderr)
         return 2
+    from rendernet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import importlib
 
     module = importlib.import_module(COMMANDS[cmd])

@@ -85,3 +85,31 @@ def test_demo_rotate_gif(tmp_path):
         demo.main(demo_args)
     assert os.path.exists(gif)
     assert len([f for f in os.listdir(out) if f.endswith(".png")]) == 3
+
+
+def test_compilation_cache_populates(tmp_path, monkeypatch):
+    """The CLI's persistent compile cache writes executables to disk and
+    can be disabled by env var."""
+    import jax
+
+    from rendernet_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache = str(tmp_path / "xla_cache")
+    monkeypatch.setenv("RENDERNET_TPU_COMPILE_CACHE", cache)
+    monkeypatch.setenv("RENDERNET_TPU_NO_COMPILE_CACHE", "1")
+    assert enable_compilation_cache() is None  # opt-out honored
+    monkeypatch.delenv("RENDERNET_TPU_NO_COMPILE_CACHE")
+    assert enable_compilation_cache() == cache
+    try:
+        import jax.numpy as jnp
+        import numpy as np
+
+        # A compile above the min-time threshold is not guaranteed on CPU,
+        # so force-cache everything for the assertion.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        x = jnp.asarray(np.ones((64, 64), np.float32))
+        float(jax.jit(lambda a: (a @ a).sum() * 3.14159)(x))
+        assert os.listdir(cache)  # an executable landed in the cache
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
