@@ -139,8 +139,9 @@ def main(argv=None):
         return out
 
     if args.rotate:
-        # Frozen artifacts have a fixed batch; live nets batch the sweep.
-        bs = 1 if args.frozen else max(1, args.sweep_batch)
+        # Frozen artifacts have a fixed batch (from `convert freeze
+        # --batch`); live nets batch the sweep by --sweep_batch.
+        bs = exported.in_avals[0].shape[0] if args.frozen else max(1, args.sweep_batch)
         azimuths = [float(a) for a in np.arange(0.0, 360.0, 5.0)]
         frames = []
         for start in range(0, len(azimuths), bs):
@@ -154,7 +155,12 @@ def main(argv=None):
             save_gif([to_uint8(f, 255.0) for f in frames], args.gif)
             print(args.gif)
     else:
-        render_batch([args.azimuth], [0])
+        chunk, counts = [args.azimuth], [0]
+        if args.frozen:  # pad to the artifact's fixed batch
+            n = exported.in_avals[0].shape[0]
+            chunk = chunk + [args.azimuth] * (n - 1)
+            counts = counts + [None] * (n - 1)
+        render_batch(chunk, counts)
 
 
 if __name__ == "__main__":
