@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "frozen-.pb demo path, RenderNet_demo.py:23-30)")
     p.add_argument("--out_channels", type=int, default=3,
                    help="shader head channels (3 = normal-map demo net)")
+    p.add_argument("--resample", type=str, default="exact",
+                   choices=["exact", "multipass"],
+                   help="voxel resample kernel: exact trilinear (reference "
+                        "bit-parity) or the fast multipass Pallas kernel")
     return p
 
 
@@ -104,7 +108,7 @@ def main(argv=None):
         render_fn = lambda p, v, q: render_from(v, q)  # noqa: E731
     else:
         render_fn = jax.jit(
-            lambda p, v, q: shader_forward(p, v, q, cfg), static_argnums=()
+            lambda p, v, q: shader_forward(p, v, q, cfg, resample=args.resample)
         )
 
     def render_batch(azimuths, counts):

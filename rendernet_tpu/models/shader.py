@@ -159,20 +159,34 @@ def shader_forward(
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    resample: str = "exact",
 ) -> jnp.ndarray:
     """Full render pipeline: rotate+resample -> axis align -> network.
 
     Mirrors the graph at RenderNet_Shader.py:150-156 (minus the random crop,
     which the trainer applies between resample and network — see
-    rendernet_tpu.ops.crops).
-    """
+    rendernet_tpu.ops.crops). ``resample``: "exact" (direct trilinear —
+    bit-parity with the reference, the right choice for pretrained
+    weights) or "multipass" (the fast Pallas kernel; ~100x the exact
+    path's TPU gather cost, with a separable reconstruction filter's
+    slight extra smoothing)."""
     m = Module(
         params=params,
         compute_dtype=compute_dtype,
         train=train,
         dropout_rng=dropout_rng,
     )
-    cam = rotate_resample_to_camera(voxels, view_params, new_size=cfg.new_size)
+    if resample == "multipass":
+        from rendernet_tpu.ops.pallas_resample import (
+            rotate_resample_to_camera_multipass,
+        )
+
+        cam = rotate_resample_to_camera_multipass(
+            voxels, view_params, new_size=cfg.new_size,
+            compute_dtype=compute_dtype,
+        )
+    else:
+        cam = rotate_resample_to_camera(voxels, view_params, new_size=cfg.new_size)
     return shader_rendernet(m, cam.astype(compute_dtype), cfg)
 
 
