@@ -301,3 +301,37 @@ def test_guard_loss_halt_policies():
         "nonfinite_update_skipped",
         "nonfinite_update_skipped",
     ]
+
+
+def test_texture_train_step_sharded_over_mesh(rng):
+    """Texture/normal two-head workload: batch sharded over the 8-device
+    data mesh matches unsharded execution (parity with the shader test —
+    both training workloads must run multi-chip)."""
+    from rendernet_tpu.train.steps import create_texture_state, make_texture_train_step
+
+    cfg = TrainConfig(
+        batch_size=8, img_res=128, new_size=32, e_eta=1e-4,
+        compute_dtype="float32", is_greyscale=False,
+    )
+    model_cfg = TextureFaceConfig(new_size=32)
+    mesh = make_mesh()
+    state, tx = create_texture_state(jax.random.PRNGKey(0), model_cfg, cfg)
+    step = make_texture_train_step(model_cfg, cfg, tx, patch_size=32)
+
+    vox = jnp.asarray((rng.random((8, 16, 16, 16, 1)) > 0.7).astype(np.float32))
+    images = jnp.asarray(rng.random((8, 128, 128, 3)).astype(np.float32))
+    normals = jnp.asarray(rng.random((8, 128, 128, 3)).astype(np.float32))
+    textures = jnp.asarray(rng.standard_normal((8, 199)).astype(np.float32))
+    poses = jnp.asarray(
+        np.stack([rng.uniform(0, 6.28, 8), rng.uniform(-1, 1, 8), np.ones(8)],
+                 axis=1).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(3)
+
+    state_r = replicate(mesh, state)
+    sharded = shard_batch(mesh, (vox, images, normals, textures, poses))
+    _, loss_sharded = step(state_r, *sharded, key)
+
+    state2, _ = create_texture_state(jax.random.PRNGKey(0), model_cfg, cfg)
+    _, loss_local = step(state2, vox, images, normals, textures, poses, key)
+    assert float(loss_sharded) == pytest.approx(float(loss_local), rel=1e-4)
