@@ -110,7 +110,7 @@ def main(argv=None):
             params = load_params_npz(args.weights)
         exported = freeze_shader_render(
             params, cfg, batch=args.batch, voxel_size=args.voxel_size,
-            platforms=tuple(args.platforms.split(",")),
+            platforms=tuple(p.strip() for p in args.platforms.split(",")),
         )
         save_frozen(exported, args.out)
         print(f"froze shader render ({args.platforms}) to {args.out}")

@@ -78,6 +78,12 @@ def main(argv=None):
     if args.frozen:
         from rendernet_tpu.compat import load_frozen
 
+        if args.weights:
+            print("NOTE: --frozen overrides --weights (the artifact's baked-in "
+                  "params are used)")
+        if args.resample != "exact":
+            print("NOTE: --frozen ignores --resample (the artifact's pipeline "
+                  "was fixed at freeze time)")
         exported = load_frozen(args.frozen)
         params = None
         render_from = jax.jit(exported.call)
@@ -111,16 +117,23 @@ def main(argv=None):
             lambda p, v, q: shader_forward(p, v, q, cfg, resample=args.resample)
         )
 
+    vox_cache = {}  # batch size -> device-resident tiled voxel
+
     def render_batch(azimuths, counts):
         """Render a batch of azimuths in one device dispatch. One jit
         specialization per batch size; sweeps pad the tail to keep it to
-        two executables (full + remainder)."""
+        two executables (full + remainder). The tiled voxel batch is
+        uploaded once per batch size, not per chunk."""
         poses = jnp.asarray(
             np.concatenate(
                 [compute_pose_param(a, args.elevation, args.radius) for a in azimuths]
             )
         )
-        vox_b = jnp.asarray(np.repeat(voxel, len(azimuths), axis=0))
+        if len(azimuths) not in vox_cache:
+            vox_cache[len(azimuths)] = jnp.asarray(
+                np.repeat(voxel, len(azimuths), axis=0)
+            )
+        vox_b = vox_cache[len(azimuths)]
         normal_maps = np.asarray(render_fn(params, vox_b, poses))
         if normal_maps.shape[-1] == 1:
             imgs = normal_maps[:, :, :, 0]

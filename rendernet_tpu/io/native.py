@@ -10,11 +10,11 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
+
+from rendernet_tpu.io._native_load import NativeLoader
 
 __all__ = [
     "available",
@@ -24,46 +24,23 @@ __all__ = [
     "decode_batch",
 ]
 
-_NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-)
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libvoxio.so")
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_tried = False
+
+def _setup(lib: ctypes.CDLL) -> None:
+    lib.voxio_header.restype = ctypes.c_int
+    lib.voxio_decode.restype = ctypes.c_int
+    lib.voxio_encode.restype = ctypes.c_int64
+    lib.voxio_decode_batch_f32.restype = ctypes.c_int
 
 
-def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _tried
-    with _lock:
-        if _tried:
-            return _lib
-        _tried = True
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except Exception:
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
-            return None
-        lib.voxio_header.restype = ctypes.c_int
-        lib.voxio_decode.restype = ctypes.c_int
-        lib.voxio_encode.restype = ctypes.c_int64
-        lib.voxio_decode_batch_f32.restype = ctypes.c_int
-        _lib = lib
-        return _lib
+_loader = NativeLoader("libvoxio.so", _setup)
+
+
+def _load():
+    return _loader.load()
 
 
 def available() -> bool:
-    return _load() is not None
+    return _loader.available()
 
 
 def decode_header(buf: bytes) -> Tuple[Tuple[int, int, int], Tuple[float, ...], float]:

@@ -8,71 +8,43 @@ GIL, so loader threads decode in parallel (see data/prefetch.py).
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 from typing import Optional
 
 import numpy as np
 
+from rendernet_tpu.io._native_load import NativeLoader
+
 __all__ = ["available", "decode_png"]
 
-_NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-)
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libimgio.so")
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_tried = False
+
+def _setup(lib: ctypes.CDLL) -> None:
+    lib.imgio_png_probe.restype = ctypes.c_int
+    lib.imgio_png_probe.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.imgio_png_decode.restype = ctypes.c_int
+    lib.imgio_png_decode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+    ]
 
 
-def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _tried
-    with _lock:
-        if _tried:
-            return _lib
-        _tried = True
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR, "libimgio.so"],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except Exception:
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
-            return None
-        lib.imgio_png_probe.restype = ctypes.c_int
-        lib.imgio_png_probe.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.imgio_png_decode.restype = ctypes.c_int
-        lib.imgio_png_decode.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_int64,
-            ctypes.c_void_p,
-            ctypes.c_int64,
-        ]
-        _lib = lib
-        return _lib
+_loader = NativeLoader("libimgio.so", _setup)
 
 
 def available() -> bool:
-    return _load() is not None
+    return _loader.available()
 
 
 def decode_png(buf: bytes) -> Optional[np.ndarray]:
     """Decode PNG bytes to uint8 HW (grey) / HWC; None if unsupported."""
-    lib = _load()
+    lib = _loader.load()
     if lib is None:
         return None
     w = ctypes.c_int32()

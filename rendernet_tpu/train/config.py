@@ -69,12 +69,14 @@ class TrainConfig:
     profile_steps: int = 5
     data_parallel: Optional[int] = None  # None = all local devices
     nan_guard: bool = True  # halt with a clear error on non-finite loss
-    # Failure recovery: when > 0, non-finite gradient updates are skipped
-    # on-device (optax.apply_if_finite) instead of halting — params and
-    # optimizer state stay clean through transient spikes. The loop logs
-    # each skip and halts only after this many CONSECUTIVE bad steps
-    # (at which point apply_if_finite would give up and accept the bad
-    # update, so we stop just before poisoning the params).
+    # Failure recovery: when > 0, updates with non-finite gradients are
+    # ALWAYS rejected on-device (train.optim.reject_nonfinite) — params
+    # and optimizer state cannot be poisoned. The loop halts with a clear
+    # error once this many CONSECUTIVE updates were rejected (checked on
+    # non-finite losses and at the periodic logging sync points).
+    # NOTE: toggling this changes the optimizer-state pytree, so a run
+    # directory checkpointed with the other setting will not auto-resume;
+    # start a fresh run dir (params migrate via params_latest.npz).
     skip_nonfinite_updates: int = 0
     # Cache device-resident batches across epochs (small, deterministic
     # datasets only — eliminates repeat host->device transfers entirely).

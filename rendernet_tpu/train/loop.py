@@ -49,25 +49,39 @@ from rendernet_tpu.utils.image import save_image, to_uint8
 __all__ = ["train_shader", "train_texture"]
 
 
+def _halt_if_rejecting(cfg: TrainConfig, run, state, global_step: int,
+                       epoch: int) -> None:
+    """Halt once the optimizer has rejected ``skip_nonfinite_updates``
+    consecutive updates (reject_nonfinite never accepts a bad update, so
+    params stay clean — this is pure failure DETECTION). Reading the
+    count is a device fetch, so callers invoke this only at points that
+    already sync (non-finite loss, periodic logging)."""
+    consecutive = int(state.opt_state.notfinite_count)
+    if consecutive == 0:
+        return
+    run.log(step=global_step, epoch=epoch,
+            event="nonfinite_updates_rejected", consecutive=consecutive,
+            total=int(state.opt_state.total_notfinite))
+    if consecutive >= cfg.skip_nonfinite_updates:
+        raise FloatingPointError(
+            f"{consecutive} consecutive non-finite gradient updates as of "
+            f"step {global_step} (params remain clean — updates were "
+            f"rejected on-device); halting"
+        )
+
+
 def _guard_loss(cfg: TrainConfig, run, state, global_step: int, epoch: int,
                 loss: float) -> None:
     """Non-finite-loss policy (failure detection/recovery — SURVEY.md §5;
     the reference has none). With ``skip_nonfinite_updates`` the optimizer
-    already rejected the bad update on-device (optax.apply_if_finite), so
-    training continues through transient spikes; we halt only just before
-    the wrapper would give up and accept a bad update."""
+    rejects bad-gradient updates on-device, so training continues through
+    transient spikes and we only halt on persistent failure; without it a
+    non-finite loss halts immediately."""
     if not (cfg.nan_guard and not np.isfinite(loss)):
         return
     if cfg.skip_nonfinite_updates > 0:
-        consecutive = int(state.opt_state.notfinite_count)
-        run.log(step=global_step, epoch=epoch, loss=loss,
-                event="nonfinite_update_skipped", consecutive=consecutive)
-        if consecutive < cfg.skip_nonfinite_updates:
-            return
-        raise FloatingPointError(
-            f"{consecutive} consecutive non-finite updates at step "
-            f"{global_step}; halting before poisoning params"
-        )
+        _halt_if_rejecting(cfg, run, state, global_step, epoch)
+        return
     run.log(step=global_step, epoch=epoch, loss=loss, event="non_finite_loss")
     raise FloatingPointError(f"non-finite loss {loss} at step {global_step}")
 
@@ -104,7 +118,17 @@ def _maybe_resume(ckpt_dir: str, state, run):
     dir (parity with tf.train.Supervisor's auto-restore,
     RenderNet_Shader.py:179-187)."""
     if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
-        state = restore_checkpoint(ckpt_dir, state)
+        try:
+            state = restore_checkpoint(ckpt_dir, state)
+        except Exception as e:
+            raise RuntimeError(
+                f"could not restore the checkpoint in {ckpt_dir} against the "
+                "current optimizer-state structure. This happens when "
+                "skip_nonfinite_updates was toggled between runs (it wraps "
+                "the optimizer state). Start a fresh run dir — params carry "
+                "over via its params_latest.npz — or restore with the "
+                "original setting."
+            ) from e
         run.log(resumed_at_step=int(state.step))
     return state
 
@@ -218,6 +242,9 @@ def train_shader(
                     progress(global_step, float(loss))
                 if global_step % cfg.sample_every_steps == 0:
                     run.log(step=global_step, epoch=epoch, loss=float(loss))
+                    if cfg.skip_nonfinite_updates > 0:
+                        # catches non-finite grads under a finite loss
+                        _halt_if_rejecting(cfg, run, state, global_step, epoch)
                     pred = eval_step(state.params, batch[0], batch[2])
                     run.dump_pair(
                         f"train_{names[i * local_bs]}",
@@ -330,6 +357,8 @@ def train_texture(
                     progress(global_step, float(loss))
                 if global_step % cfg.sample_every_steps == 0:
                     run.log(step=global_step, epoch=epoch, loss=float(loss))
+                    if cfg.skip_nonfinite_updates > 0:
+                        _halt_if_rejecting(cfg, run, state, global_step, epoch)
                 if time.time() - last_ckpt > cfg.checkpoint_secs:
                     save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
                     save_params_npz(

@@ -21,19 +21,32 @@ _DEFAULT_DIR = os.path.join(
 
 
 def enable_compilation_cache() -> str | None:
-    """Best-effort enable; returns the cache dir or None when disabled."""
+    """Best-effort enable; returns the cache dir or None when disabled.
+
+    When jax hasn't been imported yet (the CLI dispatcher calls this
+    before any command parses its args), this only sets jax's config env
+    vars — no jax import, so ``--help`` and pure-host commands like
+    pack-tar stay fast. Once jax is already loaded, it updates the live
+    config instead (env vars are read at import time)."""
+    import sys
+
     if os.environ.get("RENDERNET_TPU_NO_COMPILE_CACHE"):
         return None
     cache_dir = os.environ.get("RENDERNET_TPU_COMPILE_CACHE", _DEFAULT_DIR)
     try:
-        import jax
-
         os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # Cache everything that took meaningful compile time (default
-        # thresholds skip small programs; our CLI programs are all large,
-        # but keep tiny helpers out of the cache).
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if "jax" in sys.modules:
+            jax = sys.modules["jax"]
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            # Cache everything that took meaningful compile time (default
+            # thresholds skip small programs; our CLI programs are large,
+            # but keep tiny helpers out of the cache).
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        else:
+            os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+            os.environ.setdefault(
+                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0"
+            )
         return cache_dir
     except Exception:
         return None

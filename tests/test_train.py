@@ -290,17 +290,46 @@ def test_guard_loss_halt_policies():
         _guard_loss(plain, run, None, 5, 0, float("nan"))
 
     skip = dataclasses.replace(TINY, skip_nonfinite_updates=2)
-    state = SimpleNamespace(opt_state=SimpleNamespace(notfinite_count=1))
+    state = SimpleNamespace(
+        opt_state=SimpleNamespace(notfinite_count=1, total_notfinite=1)
+    )
     _guard_loss(skip, run, state, 6, 0, float("nan"))  # tolerated
-    state = SimpleNamespace(opt_state=SimpleNamespace(notfinite_count=2))
+    state = SimpleNamespace(
+        opt_state=SimpleNamespace(notfinite_count=2, total_notfinite=2)
+    )
     with pytest.raises(FloatingPointError):
         _guard_loss(skip, run, state, 7, 0, float("nan"))
-    _guard_loss(skip, run, state, 8, 0, 1.25)  # finite: no-op
+    _guard_loss(skip, run, state, 8, 0, 1.25)  # finite loss: no fetch/halt
     assert [e["event"] for e in events] == [
         "non_finite_loss",
-        "nonfinite_update_skipped",
-        "nonfinite_update_skipped",
+        "nonfinite_updates_rejected",
+        "nonfinite_updates_rejected",
     ]
+
+
+def test_halt_if_rejecting_catches_finite_loss_bad_grads():
+    """The periodic check halts on persistent rejected updates even when
+    the loss stays finite (grad-only non-finiteness)."""
+    import dataclasses
+    from types import SimpleNamespace
+
+    from rendernet_tpu.train.loop import _halt_if_rejecting
+
+    events = []
+    run = SimpleNamespace(log=lambda **kw: events.append(kw))
+    cfg = dataclasses.replace(TINY, skip_nonfinite_updates=3)
+    ok = SimpleNamespace(opt_state=SimpleNamespace(notfinite_count=0,
+                                                   total_notfinite=5))
+    _halt_if_rejecting(cfg, run, ok, 10, 0)  # healthy: no log, no halt
+    assert events == []
+    warn = SimpleNamespace(opt_state=SimpleNamespace(notfinite_count=2,
+                                                     total_notfinite=7))
+    _halt_if_rejecting(cfg, run, warn, 11, 0)  # logged, below limit
+    assert events[-1]["event"] == "nonfinite_updates_rejected"
+    bad = SimpleNamespace(opt_state=SimpleNamespace(notfinite_count=3,
+                                                    total_notfinite=8))
+    with pytest.raises(FloatingPointError):
+        _halt_if_rejecting(cfg, run, bad, 12, 0)
 
 
 def test_texture_train_step_sharded_over_mesh(rng):
