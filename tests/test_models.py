@@ -175,3 +175,29 @@ def test_remat_preserves_values_and_grads():
     np.testing.assert_allclose(
         np.asarray(g0[k]), np.asarray(g1[k]), rtol=2e-3, atol=1e-6
     )  # recompute changes XLA fusion order slightly
+
+
+def test_shader_golden_regression():
+    """Fixed-seed tiny pipeline output matches the committed golden file —
+    catches semantic drift (layer order, init, padding, resample) that
+    oracle-comparison tests can miss when both paths change together."""
+    import os
+
+    import numpy as np
+
+    from rendernet_tpu.models.shader import (
+        ShaderConfig,
+        init_shader_params,
+        shader_forward,
+    )
+
+    cfg = ShaderConfig(out_channels=1, enc_channels=(2, 2, 4), res1_blocks=1,
+                       res2_blocks=1, res3_blocks=1, base=2, new_size=16)
+    params = init_shader_params(jax.random.PRNGKey(42), cfg)
+    rng = np.random.default_rng(42)
+    vox = jnp.asarray((rng.random((1, 8, 8, 8, 1)) > 0.6).astype(np.float32))
+    pose = jnp.asarray(np.array([[1.2, 0.4, 1.0]], np.float32))
+    out = np.asarray(shader_forward(params, vox, pose, cfg))
+    golden = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                  "shader_tiny_seed42.npy"))
+    np.testing.assert_allclose(out, golden, atol=1e-5)
