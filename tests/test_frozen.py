@@ -107,3 +107,19 @@ def test_cli_freeze_writes_loadable_artifact(tmp_path):
     args = parser.parse_args(["freeze", npz, out, "--batch", "2",
                               "--platforms", "cpu"])
     assert args.cmd == "freeze" and args.batch == 2
+
+
+def test_freeze_multiplatform_lowering(tmp_path, rng):
+    """One artifact carries both cpu and tpu lowerings (no TPU device
+    needed at freeze time) and still executes on cpu."""
+    w = jnp.asarray(rng.standard_normal((8, 8)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+
+    exported = freeze_fn(lambda a: a @ w, (x,), platforms=("cpu", "tpu"))
+    assert set(p.lower() for p in exported.platforms) == {"cpu", "tpu"}
+    path = str(tmp_path / "mp.shlo")
+    save_frozen(exported, path)
+    loaded = load_frozen(path)
+    np.testing.assert_allclose(
+        np.asarray(loaded.call(x)), np.asarray(x @ w), atol=1e-6
+    )
