@@ -70,6 +70,31 @@ def _halt_if_rejecting(cfg: TrainConfig, run, state, global_step: int,
         )
 
 
+class _PipelinedGuard:
+    """Run the non-finite-loss check one step LATE, so its host fetch of
+    the loss happens with the next step already enqueued — the device
+    never idles for the check (a per-step sync otherwise costs a full
+    dispatch bubble; ~70 ms RTT on a tunneled platform). The guard reads
+    the LATEST state (params are protected on-device by reject_nonfinite,
+    so a one-step-stale halt loses nothing)."""
+
+    def __init__(self, cfg: TrainConfig, run):
+        self.cfg, self.run = cfg, run
+        self.pending = None  # (device loss, global_step, epoch)
+
+    def push(self, loss, state, global_step: int, epoch: int) -> None:
+        prev, self.pending = self.pending, (loss, global_step, epoch)
+        if prev is not None:
+            _guard_loss(self.cfg, self.run, state, prev[1], prev[2],
+                        float(prev[0]))
+
+    def flush(self, state) -> None:
+        if self.pending is not None:
+            prev, self.pending = self.pending, None
+            _guard_loss(self.cfg, self.run, state, prev[1], prev[2],
+                        float(prev[0]))
+
+
 def _guard_loss(cfg: TrainConfig, run, state, global_step: int, epoch: int,
                 loss: float) -> None:
     """Non-finite-loss policy (failure detection/recovery — SURVEY.md §5;
@@ -188,6 +213,7 @@ def train_shader(
     if mesh is not None:
         state = replicate(mesh, state)
     steps = {}  # patch_size -> jitted step
+    guard = _PipelinedGuard(cfg, run)
     eval_step = make_shader_eval_step(model_cfg, cfg)
     step_key = jax.random.PRNGKey(cfg.seed + 1)
     global_step = int(state.step)
@@ -237,7 +263,7 @@ def train_shader(
                 _profile_window(cfg, global_step)
                 state, loss = step_fn(state, *batch, step_key)
                 global_step += 1
-                _guard_loss(cfg, run, state, global_step, epoch, float(loss))
+                guard.push(loss, state, global_step, epoch)
                 if progress is not None:
                     progress(global_step, float(loss))
                 if global_step % cfg.sample_every_steps == 0:
@@ -260,10 +286,12 @@ def train_shader(
                     )
                     last_ckpt = time.time()
                 if max_steps is not None and global_step >= max_steps:
+                    guard.flush(state)
                     save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
                     return state
 
         # ---- per-epoch validation (mean absolute error) ----
+        guard.flush(state)
         save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
         if cfg.image_path_valid and os.path.exists(cfg.image_path_valid):
             l1_sum, l1_n = 0.0, 0
@@ -310,6 +338,7 @@ def train_texture(
     if mesh is not None:
         state = replicate(mesh, state)
     steps = {}
+    guard = _PipelinedGuard(cfg, run)
     step_key = jax.random.PRNGKey(cfg.seed + 1)
     global_step = int(state.step)
     last_ckpt = time.time()
@@ -352,7 +381,7 @@ def train_texture(
                 _profile_window(cfg, global_step)
                 state, loss = step_fn(state, *batch, step_key)
                 global_step += 1
-                _guard_loss(cfg, run, state, global_step, epoch, float(loss))
+                guard.push(loss, state, global_step, epoch)
                 if progress is not None:
                     progress(global_step, float(loss))
                 if global_step % cfg.sample_every_steps == 0:
@@ -367,8 +396,10 @@ def train_texture(
                     )
                     last_ckpt = time.time()
                 if max_steps is not None and global_step >= max_steps:
+                    guard.flush(state)
                     save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
                     return state
+        guard.flush(state)
         save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
     save_params_npz(os.path.join(run.root, "params_final.npz"),
                     jax.tree.map(np.asarray, state.params))
