@@ -40,6 +40,11 @@ def save_checkpoint(path: str, state: Any) -> None:
     same structure to get the typed object back. For a human-inspectable
     params archive use :func:`save_params_npz`.
     """
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # Params/opt state are replicated (train.distributed.replicate), so
+        # every host holds the full state; only the chief writes, or
+        # multi-host runs would race on the same files.
+        return
     path = os.path.abspath(path)
     leaves = jax.tree.leaves(state)
     _checkpointer().save(
@@ -61,7 +66,10 @@ def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
 
 
 def save_params_npz(path: str, params: Dict[str, Any]) -> None:
-    """Save a flat {path: array} param dict as one .npz archive."""
+    """Save a flat {path: array} param dict as one .npz archive (chief
+    process only in multi-host runs — params are replicated)."""
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
 
 
