@@ -364,3 +364,28 @@ def test_texture_train_step_sharded_over_mesh(rng):
     state2, _ = create_texture_state(jax.random.PRNGKey(0), model_cfg, cfg)
     _, loss_local = step(state2, vox, images, normals, textures, poses, key)
     assert float(loss_sharded) == pytest.approx(float(loss_local), rel=1e-4)
+
+
+def test_pipelined_guard_delays_one_step_and_flushes():
+    """_PipelinedGuard checks step n-1's loss when step n is pushed (no
+    same-step sync) and flushes the final pending loss at loop exit."""
+    import dataclasses
+    from types import SimpleNamespace
+
+    from rendernet_tpu.train.loop import _PipelinedGuard
+
+    events = []
+    run = SimpleNamespace(log=lambda **kw: events.append(kw))
+    guard = _PipelinedGuard(TINY, run)
+    state = SimpleNamespace(opt_state=None)
+
+    guard.push(jnp.asarray(1.0), state, 1, 0)  # nothing checked yet
+    guard.push(jnp.asarray(float("nan")), state, 2, 0)  # checks step 1: ok
+    with pytest.raises(FloatingPointError, match="step 2"):
+        guard.push(jnp.asarray(0.5), state, 3, 0)  # checks step 2: NaN
+
+    guard2 = _PipelinedGuard(TINY, run)
+    guard2.push(jnp.asarray(float("nan")), state, 7, 1)
+    with pytest.raises(FloatingPointError, match="step 7"):
+        guard2.flush(state)  # tail loss still checked at exit
+    guard2.flush(state)  # idempotent once drained
