@@ -141,3 +141,28 @@ def test_res_stack_hwnc_grads(rng):
         np.testing.assert_allclose(
             np.asarray(gp_k[k]), np.asarray(gp_r[k]), atol=2e-4, err_msg=k
         )
+
+
+def test_wc_conv2d_production_tiling_class(rng):
+    """(2, 64, 8, 256) selects (bn=256, bh=8) — the same tile class the
+    training shapes pick on TPU (bh=8 row blocks, 256-wide weight tiles) —
+    so the multi-row kernel path is covered on CPU, values and grads."""
+    from rendernet_tpu.ops.pallas_conv2d import _tiles
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 8, 256)).astype(np.float32))
+    w = jnp.asarray(
+        (rng.standard_normal((3, 3, 256, 256)) * 0.05).astype(np.float32)
+    )
+    assert _tiles(64, 8, 2, 256, 256, 4) == (256, 8, 2)
+    np.testing.assert_allclose(
+        np.asarray(wc_conv2d(x, w)), np.asarray(plain(x, w)), atol=2e-4
+    )
+    gy = jnp.asarray(rng.standard_normal((2, 64, 8, 256)).astype(np.float32))
+
+    def loss(fn):
+        return lambda x, w: jnp.sum(fn(x, w) * gy)
+
+    gx_k, gw_k = jax.grad(loss(wc_conv2d), (0, 1))(x, w)
+    gx_r, gw_r = jax.grad(loss(plain), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_r), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw_k), np.asarray(gw_r), atol=2e-3)
