@@ -1,0 +1,90 @@
+"""Direct TensorFlow-oracle parity tests for the layer library.
+
+The reference is TF 1.x; its exact SAME-padding conventions (asymmetric
+pads on even kernels/strides, ``conv2d_transpose`` with explicit
+``output_shape``) are the riskiest part of pretrained-weight parity
+(tools/layer_util.py:147-310). These tests check our layers against
+tf.nn itself — the strongest oracle available short of the released
+weights. Runs on TF CPU; skipped when tensorflow isn't installed.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from rendernet_tpu.nn import layers  # noqa: E402
+from rendernet_tpu.nn.layers import Module  # noqa: E402
+
+
+def _ours(layer_fn, x, w, stride):
+    """Run our layer with injected TF-layout weights, no bias."""
+    mi = Module(rng=jax.random.PRNGKey(0))
+    kernel = w.shape[: x.ndim - 2]
+    out_ch = (
+        w.shape[-2] if "transpose" in layer_fn.__name__ else w.shape[-1]
+    )
+    layer_fn(mi, jnp.asarray(x), out_ch, kernel, stride, scope="t",
+             use_bias=False)
+    (wkey,) = [k for k in mi.params if k.endswith("/weights")]
+    m = Module(params={wkey: jnp.asarray(w)})
+    return np.asarray(
+        layer_fn(m, jnp.asarray(x), out_ch, kernel, stride, scope="t",
+                 use_bias=False)
+    )
+
+
+@pytest.mark.parametrize("stride,k,hw", [
+    ((1, 1), 3, 8), ((2, 2), 5, 8), ((2, 2), 4, 8), ((2, 2), 3, 7),
+    ((1, 2), 4, 6),
+])
+def test_conv2d_matches_tf(rng, stride, k, hw):
+    x = rng.standard_normal((2, hw, hw, 3)).astype(np.float32)
+    w = (rng.standard_normal((k, k, 3, 5)) * 0.1).astype(np.float32)
+    want = tf.nn.conv2d(x, w, strides=[1, *stride, 1], padding="SAME").numpy()
+    got = _ours(layers.conv2d, x, w, stride)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("stride", [(2, 2, 2), (1, 1, 2), (1, 1, 1)])
+def test_conv3d_matches_tf(rng, stride):
+    x = rng.standard_normal((1, 6, 6, 8, 2)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, 3, 2, 4)) * 0.1).astype(np.float32)
+    want = tf.nn.conv3d(x, w, strides=[1, *stride, 1], padding="SAME").numpy()
+    got = _ours(layers.conv3d, x, w, stride)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("stride,k,hw", [
+    ((2, 2), 4, 8),   # the reference deconv chain's upsampling step
+    ((1, 1), 4, 8),   # its stride-1 refinement step (even kernel!)
+    ((2, 2), 4, 7),   # odd input size
+    ((2, 2), 3, 8),   # odd kernel
+    ((2, 2), 5, 6),
+])
+def test_conv2d_transpose_matches_tf(rng, stride, k, hw):
+    """tf.nn.conv2d_transpose SAME with output_shape = input*stride —
+    the exact call the reference decoder makes (tools/layer_util.py:186)."""
+    x = rng.standard_normal((2, hw, hw, 6)).astype(np.float32)
+    w = (rng.standard_normal((k, k, 4, 6)) * 0.1).astype(np.float32)  # (out, in)
+    out_shape = [2, hw * stride[0], hw * stride[1], 4]
+    want = tf.nn.conv2d_transpose(
+        x, w, output_shape=out_shape, strides=[1, *stride, 1], padding="SAME"
+    ).numpy()
+    got = _ours(layers.conv2d_transpose, x, w, stride)
+    assert got.shape == tuple(out_shape)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("stride", [(2, 2, 2), (1, 1, 1)])
+def test_conv3d_transpose_matches_tf(rng, stride):
+    x = rng.standard_normal((1, 4, 4, 6, 3)).astype(np.float32)
+    w = (rng.standard_normal((4, 4, 4, 2, 3)) * 0.1).astype(np.float32)
+    out_shape = [1, 4 * stride[0], 4 * stride[1], 6 * stride[2], 2]
+    want = tf.nn.conv3d_transpose(
+        x, w, output_shape=out_shape, strides=[1, *stride, 1], padding="SAME"
+    ).numpy()
+    got = _ours(layers.conv3d_transpose, x, w, stride)
+    assert got.shape == tuple(out_shape)
+    np.testing.assert_allclose(got, want, atol=1e-5)
