@@ -36,6 +36,17 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["shader", "texture", "recon-renderer",
                              "shape-decoder", "recon-texture"])
 
+    c5 = sub.add_parser("pb-to-npz")
+    c5.add_argument("pb", type=str,
+                    help="frozen GraphDef (the reference's released format)")
+    c5.add_argument("out", type=str)
+    c5.add_argument("--model", type=str, default="shader",
+                    choices=["shader", "texture", "recon-renderer",
+                             "shape-decoder", "recon-texture"])
+    c5.add_argument("--out_channels", type=int, default=3,
+                    help="shader head width (the released demo pb is the "
+                         "3-channel normal-map net)")
+
     c4 = sub.add_parser("freeze")
     c4.add_argument("weights", type=str,
                     help=".npz params file or reference *.txt.npz weight dir")
@@ -131,6 +142,23 @@ def main(argv=None):
         params = load_params_npz(args.npz)
         export_reference_weight_dir(params, args.out_dir)
         print(f"wrote {len(params)} weight files to {args.out_dir}")
+    elif args.cmd == "pb-to-npz":
+        from rendernet_tpu.compat import params_from_frozen_pb
+
+        if args.model == "shader":
+            import jax as _jax
+
+            from rendernet_tpu.models.shader import ShaderConfig, init_shader_params
+
+            template = init_shader_params(
+                _jax.random.PRNGKey(0),
+                ShaderConfig(out_channels=args.out_channels),
+            )
+        else:
+            template = _template(args.model)
+        params = params_from_frozen_pb(template, args.pb, strict=False)
+        save_params_npz(args.out, params)
+        print(f"wrote {len(params)} params to {args.out}")
     else:
         template = _template(args.model)
         wd = load_reference_weight_dir(args.weight_dir)

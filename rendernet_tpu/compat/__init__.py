@@ -6,6 +6,10 @@ from rendernet_tpu.compat.frozen import (
     load_frozen,
     save_frozen,
 )
+from rendernet_tpu.compat.pb_import import (
+    load_frozen_graphdef_weights,
+    params_from_frozen_pb,
+)
 from rendernet_tpu.compat.tf_import import (
     load_reference_weight_dir,
     npz_key_for_path,
@@ -24,4 +28,6 @@ __all__ = [
     "freeze_shader_render",
     "save_frozen",
     "load_frozen",
+    "load_frozen_graphdef_weights",
+    "params_from_frozen_pb",
 ]

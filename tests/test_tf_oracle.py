@@ -88,3 +88,37 @@ def test_conv3d_transpose_matches_tf(rng, stride):
     got = _ours(layers.conv3d_transpose, x, w, stride)
     assert got.shape == tuple(out_shape)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_params_from_frozen_pb(tmp_path, rng):
+    """Round-trip: a frozen GraphDef written by TF itself (consts named by
+    variable-scope paths, as convert_variables_to_constants produces)
+    imports onto our param template by name."""
+    from rendernet_tpu.compat import params_from_frozen_pb
+
+    w = rng.standard_normal((3, 3, 2, 4)).astype(np.float32)
+    b = rng.standard_normal((4,)).astype(np.float32)
+    g = tf.Graph()
+    with g.as_default():
+        tf.constant(w, name="encoder/e_conv1/e_conv1/weights")
+        tf.constant(b, name="encoder/e_conv1/e_conv1/biases")
+        tf.constant(np.int32(7), name="some/shape/metadata")
+    pb = str(tmp_path / "frozen.pb")
+    with open(pb, "wb") as f:
+        f.write(g.as_graph_def().SerializeToString())
+
+    template = {
+        "encoder/e_conv1/e_conv1/weights": np.zeros((3, 3, 2, 4), np.float32),
+        "encoder/e_conv1/e_conv1/biases": np.zeros((4,), np.float32),
+    }
+    params = params_from_frozen_pb(template, pb)
+    np.testing.assert_array_equal(params["encoder/e_conv1/e_conv1/weights"], w)
+    np.testing.assert_array_equal(params["encoder/e_conv1/e_conv1/biases"], b)
+
+    # strict mode flags missing keys; shape mismatches always raise
+    template["missing/weights"] = np.zeros((1,), np.float32)
+    with pytest.raises(KeyError):
+        params_from_frozen_pb(template, pb)
+    bad = {"encoder/e_conv1/e_conv1/weights": np.zeros((1, 1, 2, 4), np.float32)}
+    with pytest.raises(ValueError):
+        params_from_frozen_pb(bad, pb)
