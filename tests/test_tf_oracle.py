@@ -209,3 +209,139 @@ def test_full_shader_network_matches_tf_mirror(rng):
     x = tf.sigmoid(deconv(x, "encoder/e_conv11", (1, 1)))
 
     np.testing.assert_allclose(ours, x.numpy(), atol=2e-5)
+
+
+def test_texture_decoder_matches_tf_mirror(rng):
+    """Texture decoder (FC -> reshape -> deconv3d/deconv3d/conv3d, PReLU
+    everywhere; RenderNet_Texture_Face_Normal.py:34-46) vs raw tf.nn."""
+    from rendernet_tpu.models.texture_face import texture_decoder
+
+    mi = Module(rng=jax.random.PRNGKey(1))
+    z = rng.standard_normal((1, 199)).astype(np.float32) * 0.3
+    texture_decoder(mi, jnp.asarray(z))
+    params = {k: np.asarray(v) for k, v in mi.params.items()}
+    rng2 = np.random.default_rng(6)
+    for k in params:
+        if k.endswith("alpha"):
+            params[k] = rng2.uniform(0.1, 0.5, params[k].shape).astype(np.float32)
+
+    ours = np.asarray(
+        texture_decoder(Module(params={k: jnp.asarray(v) for k, v in params.items()}),
+                        jnp.asarray(z))
+    )
+
+    P = {k: tf.constant(v) for k, v in params.items()}
+
+    def prelu(x, path):
+        return tf.maximum(x, 0.0) + P[path + "/alpha"] * tf.minimum(x, 0.0)
+
+    def deconv3(x, path, stride):
+        w = P[path + "/weights"]
+        b, d, h, wd, _ = x.shape
+        out_shape = [b, d * stride, h * stride, wd * stride, w.shape[3]]
+        return tf.nn.conv3d_transpose(
+            x, w, output_shape=out_shape, strides=[1, stride, stride, stride, 1],
+            padding="SAME") + P[path + "/biases"]
+
+    t = "texture_encoder"
+    x = tf.constant(z)
+    x = tf.matmul(x, P[f"{t}/e_tex_fc1/fully_connected/weights"]) + P[
+        f"{t}/e_tex_fc1/fully_connected/biases"]
+    x = prelu(x, f"{t}/e_tex_fc1")
+    x = tf.reshape(x, [1, 32, 32, 32, 4])
+    x = prelu(deconv3(x, f"{t}/e_tex_conv0/conv3d_transpose", 1), f"{t}/e_tex_conv0")
+    x = prelu(deconv3(x, f"{t}/e_tex_conv1/conv3d_transpose", 2), f"{t}/e_tex_conv1")
+    x = tf.nn.conv3d(x, P[f"{t}/e_tex_conv2/conv3d/weights"],
+                     strides=[1] * 5, padding="SAME") + P[
+        f"{t}/e_tex_conv2/conv3d/biases"]
+    x = prelu(x, f"{t}/e_tex_conv2")
+
+    np.testing.assert_allclose(ours, x.numpy(), atol=2e-5)
+
+
+def test_two_head_texture_net_matches_tf_mirror(rng):
+    """Two-head texture/normal RenderNet (trunk + Image/Normal heads incl.
+    the reference's e_conv7_2 scope quirk) vs raw tf.nn."""
+    from rendernet_tpu.models.texture_face import (
+        TextureFaceConfig,
+        init_texture_face_params,
+        texture_face_rendernet,
+    )
+
+    cfg = TextureFaceConfig(enc_channels=(2, 2, 2), res1_blocks=1,
+                            res2_blocks=1, res3_blocks=1, base=2, new_size=16)
+    params = {
+        k: np.asarray(v)
+        for k, v in init_texture_face_params(jax.random.PRNGKey(2), cfg).items()
+    }
+    rng2 = np.random.default_rng(7)
+    for k in params:
+        if k.endswith("alpha"):
+            params[k] = rng2.uniform(0.1, 0.5, params[k].shape).astype(np.float32)
+
+    vox = rng.standard_normal((1, 8, 8, 16, 5)).astype(np.float32)
+    ours_albedo, ours_normal = texture_face_rendernet(
+        Module(params={k: jnp.asarray(v) for k, v in params.items()}),
+        jnp.asarray(vox), cfg,
+    )
+
+    P = {k: tf.constant(v) for k, v in params.items()}
+
+    def prelu(x, path):
+        return tf.maximum(x, 0.0) + P[path + "/alpha"] * tf.minimum(x, 0.0)
+
+    def conv(x, path, stride, nd=2):
+        op = tf.nn.conv3d if nd == 3 else tf.nn.conv2d
+        return op(x, P[path + "/weights"], strides=[1, *stride, 1],
+                  padding="SAME") + P[path + "/biases"]
+
+    def deconv(x, path, stride):
+        w = P[path + "/weights"]
+        b, h, wd, _ = x.shape
+        out_shape = [b, h * stride, wd * stride, w.shape[2]]
+        return tf.nn.conv2d_transpose(
+            x, w, output_shape=out_shape, strides=[1, stride, stride, 1],
+            padding="SAME") + P[path + "/biases"]
+
+    def res_block(x, path, nd=2):
+        net = conv(x, f"{path}/con1_3X3", (1,) * nd, nd)
+        net = prelu(net, path)
+        net = conv(net, f"{path}/conv2_3x3", (1,) * nd, nd)
+        return net + x
+
+    x = tf.constant(vox)
+    x = prelu(conv(x, "encoder/e_conv1/e_conv1", (2, 2, 2), 3), "encoder/e_conv1")
+    x = prelu(conv(x, "encoder/e_conv2/e_conv2", (1, 1, 2), 3), "encoder/e_conv2")
+    x = prelu(conv(x, "encoder/e_conv3/e_conv3", (1, 1, 1), 3), "encoder/e_conv3")
+    shortcut = x
+    x = res_block(x, "encoder/res1_1", nd=3)
+    x = conv(x, "encoder/res1_skip/con1_3X3", (1, 1, 1), 3) + shortcut
+    b, h, w, d, c = x.shape
+    x = tf.reshape(x, [b, h, w, d * c])
+    x = prelu(conv(x, "encoder/projection_unit/Conv", (1, 1)),
+              "encoder/projection_unit")
+    shortcut = x
+    x = res_block(x, "encoder/res2_1")
+    x = conv(x, "encoder/res2_skip/con1_3X3", (1, 1)) + shortcut
+    x = prelu(conv(x, "encoder/e_conv5/e_conv5", (1, 1)), "encoder/e_conv5")
+    shortcut = x
+    x = res_block(x, "encoder/res3_1")
+    trunk = conv(x, "encoder/res3_skip/con1_3X3", (1, 1)) + shortcut
+
+    def head(name, sfx, conv8_scope, conv9_scope, conv10_scope):
+        y = prelu(conv(trunk, f"encoder/{name}/e_conv6{sfx}/e_conv6{sfx}", (1, 1)),
+                  f"encoder/{name}/e_conv6{sfx}")
+        y = prelu(deconv(y, f"encoder/{name}/e_conv7{sfx}/e_conv7_2", 2),
+                  f"encoder/{name}/e_conv7{sfx}")
+        y = prelu(deconv(y, f"encoder/{name}/e_conv8{sfx}/{conv8_scope}", 2),
+                  f"encoder/{name}/e_conv8{sfx}")
+        y = prelu(deconv(y, f"encoder/{name}/e_conv9{sfx}/{conv9_scope}", 2),
+                  f"encoder/{name}/e_conv9{sfx}")
+        return tf.sigmoid(deconv(y, f"encoder/{name}/e_conv10{sfx}/{conv10_scope}", 1))
+
+    tf_albedo = head("Image", "_1", "conv2d_transpose", "conv2d_transpose",
+                     "conv2d_transpose")
+    tf_normal = head("Normal", "_2", "e_conv8_2", "e_conv9_2", "e_conv10_2")
+
+    np.testing.assert_allclose(np.asarray(ours_albedo), tf_albedo.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ours_normal), tf_normal.numpy(), atol=2e-5)
