@@ -345,3 +345,129 @@ def test_two_head_texture_net_matches_tf_mirror(rng):
 
     np.testing.assert_allclose(np.asarray(ours_albedo), tf_albedo.numpy(), atol=2e-5)
     np.testing.assert_allclose(np.asarray(ours_normal), tf_normal.numpy(), atol=2e-5)
+
+
+def test_shape_decoder_matches_tf_mirror(rng):
+    """Inverse-rendering shape decoder (FC -> 4x elu deconv3d s2 -> s1 +
+    sigmoid; Reconstruct_RenderNet_Face.py:31-75) vs raw tf.nn."""
+    from rendernet_tpu.models.decoders import (
+        init_shape_decoder_params,
+        shape_decoder_3d,
+    )
+
+    z = rng.standard_normal((1, 16)).astype(np.float32)
+    params = {
+        k: np.asarray(v)
+        for k, v in init_shape_decoder_params(jax.random.PRNGKey(4), z_dim=16).items()
+    }
+    ours = np.asarray(
+        shape_decoder_3d(Module(params={k: jnp.asarray(v) for k, v in params.items()}),
+                         jnp.asarray(z))
+    )
+
+    P = {k: tf.constant(v) for k, v in params.items()}
+
+    def deconv3(x, path, stride, out_ch):
+        w = P[path + "/weights"]
+        b, d, h, wd, _ = x.shape
+        out_shape = [b, d * stride, h * stride, wd * stride, out_ch]
+        return tf.nn.conv3d_transpose(
+            x, w, output_shape=out_shape, strides=[1, stride, stride, stride, 1],
+            padding="SAME") + P[path + "/biases"]
+
+    x = tf.matmul(tf.constant(z), P["g_zP/g_gc1/weights"]) + P["g_zP/g_gc1/biases"]
+    x = tf.reshape(x, [1, 4, 4, 4, 256])
+    for ch, name in ((128, "g_conv1"), (64, "g_conv2"), (32, "g_conv3"),
+                     (16, "g_conv4")):
+        x = tf.nn.elu(deconv3(x, f"{name}/{name}", 2, ch))
+    x = tf.sigmoid(deconv3(x, "g_conv5", 1, 1))
+    np.testing.assert_allclose(ours, x.numpy(), atol=2e-5)
+
+
+def test_recon_rendernet_matches_tf_mirror(rng):
+    """The frozen inverse-rendering renderer (raw-reshape projection +
+    e_conv4, relu res blocks, e_conv11 head quirks;
+    Reconstruct_RenderNet_Face.py:113-302) vs raw tf.nn."""
+    from rendernet_tpu.models.decoders import (
+        init_recon_rendernet_params,
+        recon_rendernet,
+    )
+
+    params = {
+        k: np.asarray(v)
+        for k, v in init_recon_rendernet_params(
+            jax.random.PRNGKey(5), new_size=16).items()
+    }
+    rng2 = np.random.default_rng(8)
+    for k in params:
+        if k.endswith("alpha"):
+            params[k] = rng2.uniform(0.1, 0.5, params[k].shape).astype(np.float32)
+
+    vox = rng.standard_normal((1, 8, 8, 16, 5)).astype(np.float32)
+    ours_albedo, ours_normal = recon_rendernet(
+        Module(params={k: jnp.asarray(v) for k, v in params.items()}),
+        jnp.asarray(vox),
+    )
+
+    P = {k: tf.constant(v) for k, v in params.items()}
+
+    def prelu(x, path):
+        return tf.maximum(x, 0.0) + P[path + "/alpha"] * tf.minimum(x, 0.0)
+
+    def conv(x, path, stride, nd=2):
+        op = tf.nn.conv3d if nd == 3 else tf.nn.conv2d
+        return op(x, P[path + "/weights"], strides=[1, *stride, 1],
+                  padding="SAME") + P[path + "/biases"]
+
+    def deconv(x, path, stride, out_ch):
+        w = P[path + "/weights"]
+        b, h, wd, _ = x.shape
+        out_shape = [b, h * stride, wd * stride, out_ch]
+        return tf.nn.conv2d_transpose(
+            x, w, output_shape=out_shape, strides=[1, stride, stride, 1],
+            padding="SAME") + P[path + "/biases"]
+
+    def res_block_relu(x, path, nd=2):
+        net = conv(x, f"{path}/con1_3X3", (1,) * nd, nd)
+        net = tf.nn.relu(net)
+        net = conv(net, f"{path}/conv2_3x3", (1,) * nd, nd)
+        return net + x
+
+    x = tf.constant(vox)
+    x = prelu(conv(x, "encoder/e_conv1/e_conv1", (2, 2, 2), 3), "encoder/e_conv1")
+    x = prelu(conv(x, "encoder/e_conv2/e_conv2", (1, 1, 2), 3), "encoder/e_conv2")
+    x = prelu(conv(x, "encoder/e_conv3/e_conv3", (1, 1, 1), 3), "encoder/e_conv3")
+    shortcut = x
+    for i in range(1, 11):
+        x = res_block_relu(x, f"encoder/res1_{i}", nd=3)
+    x = conv(x, "encoder/res1_skip/con1_3X3", (1, 1, 1), 3) + shortcut
+    b, h, w, d, c = x.shape
+    x = tf.reshape(x, [b, h, w, d * c])
+    x = prelu(conv(x, "encoder/e_conv4/e_conv4", (1, 1)), "encoder/e_conv4")
+    shortcut = x
+    for i in range(1, 11):
+        x = res_block_relu(x, f"encoder/res2_{i}")
+    x = conv(x, "encoder/res2_skip/con1_3X3", (1, 1)) + shortcut
+    x = prelu(conv(x, "encoder/e_conv5/e_conv5", (1, 1)), "encoder/e_conv5")
+    shortcut = x
+    for i in range(1, 6):
+        x = res_block_relu(x, f"encoder/res3_{i}")
+    trunk = conv(x, "encoder/res3_skip/con1_3X3", (1, 1)) + shortcut
+
+    def tf_head(name, sfx, final_outer):
+        y = prelu(conv(trunk, f"encoder/{name}/e_conv6{sfx}/e_conv6{sfx}", (1, 1)),
+                  f"encoder/{name}/e_conv6{sfx}")
+        y = prelu(deconv(y, f"encoder/{name}/e_conv7{sfx}/e_conv7{sfx}", 2, 64),
+                  f"encoder/{name}/e_conv7{sfx}")
+        y = prelu(deconv(y, f"encoder/{name}/e_conv8{sfx}/e_conv8{sfx}", 2, 32),
+                  f"encoder/{name}/e_conv8{sfx}")
+        y = prelu(deconv(y, f"encoder/{name}/e_conv9{sfx}/e_conv9{sfx}", 2, 16),
+                  f"encoder/{name}/e_conv9{sfx}")
+        return tf.sigmoid(
+            deconv(y, f"encoder/{name}/{final_outer}/e_conv11{sfx}", 1, 3)
+        )
+
+    tf_albedo = tf_head("Image", "_1", "e_conv11_1")
+    tf_normal = tf_head("Normal", "_2", "e_conv11")
+    np.testing.assert_allclose(np.asarray(ours_albedo), tf_albedo.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ours_normal), tf_normal.numpy(), atol=2e-5)
