@@ -20,6 +20,8 @@ import time
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -29,6 +31,10 @@ def main() -> None:
     from rendernet_tpu.train.steps import create_shader_state, make_shader_train_step
 
     n_chips = 1  # single-chip benchmark; multi-chip scaling measured separately
+    # Experiment knobs (defaults = the recorded metric's configuration).
+    env_batch = int(os.environ.get("RENDERNET_BENCH_BATCH", "24"))
+    env_remat = bool(int(os.environ.get("RENDERNET_BENCH_REMAT", "0")))
+    env_scan = bool(int(os.environ.get("RENDERNET_BENCH_SCAN", "0")))
 
     def build(batch):
         cfg = TrainConfig(
@@ -39,7 +45,7 @@ def main() -> None:
             is_greyscale=True,
             e_eta=1e-5,
         )
-        model_cfg = ShaderConfig()
+        model_cfg = ShaderConfig(remat=env_remat, scan_blocks=env_scan)
         state, tx = create_shader_state(jax.random.PRNGKey(0), model_cfg, cfg)
         # Training patch = 64 (the curriculum's steady state); full 128 is
         # the eval path.
@@ -59,7 +65,7 @@ def main() -> None:
         return step, state, (voxels, images, poses)
 
     key = jax.random.PRNGKey(1)
-    batch = 24
+    batch = env_batch
     while True:
         try:
             step, state, batch_data = build(batch)
