@@ -471,3 +471,37 @@ def test_recon_rendernet_matches_tf_mirror(rng):
     tf_normal = tf_head("Normal", "_2", "e_conv11")
     np.testing.assert_allclose(np.asarray(ours_albedo), tf_albedo.numpy(), atol=2e-5)
     np.testing.assert_allclose(np.asarray(ours_normal), tf_normal.numpy(), atol=2e-5)
+
+
+def test_adam_staircase_trajectory_matches_tf(rng):
+    """10 optimizer steps on a non-convex toy objective: our
+    exponential-staircase Adam(b1=0.5) tracks
+    tf.compat.v1.train.AdamOptimizer + exponential_decay(staircase=True)
+    to float32 roundoff (RenderNet_Shader.py:166-167 semantics)."""
+    from rendernet_tpu.train.optim import make_optimizer
+
+    w0 = rng.standard_normal(4).astype(np.float32)
+
+    v = tf.Variable(w0)
+    gstep = tf.Variable(0, dtype=tf.int64)
+    lr = tf.compat.v1.train.exponential_decay(1e-2, gstep, 3, 0.96,
+                                              staircase=True)
+    opt = tf.compat.v1.train.AdamOptimizer(lr, beta1=0.5)
+    tf_tr = []
+    for _ in range(10):
+        with tf.GradientTape() as t:
+            loss = tf.reduce_sum(tf.sin(v) * v**2)
+        opt.apply_gradients([(t.gradient(loss, v), v)], global_step=gstep)
+        tf_tr.append(v.numpy().copy())
+
+    tx = make_optimizer(1e-2, 3, 0.96)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+
+    def loss_fn(p):
+        return jnp.sum(jnp.sin(p["w"]) * p["w"] ** 2)
+
+    for i in range(10):
+        upd, state = tx.update(jax.grad(loss_fn)(params), state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, upd)
+        np.testing.assert_allclose(np.asarray(params["w"]), tf_tr[i], atol=2e-6)
