@@ -47,6 +47,7 @@ def main(argv=None):
         batch_size=cfg.batch_size,
         inner_steps=cfg.inner_step,
         max_epochs=cfg.max_epochs,
+        new_size=cfg.new_size,
         shape_eta=cfg.shape_eta,
         pose_eta=cfg.pose_eta,
         tex_eta=cfg.tex_eta,
@@ -58,7 +59,8 @@ def main(argv=None):
     templates = ReconModel(
         decoder=init_shape_decoder_params(jax.random.PRNGKey(0), z_dim=rcfg.z_dim),
         texture=init_recon_texture_decoder_params(jax.random.PRNGKey(1)),
-        renderer=init_recon_rendernet_params(jax.random.PRNGKey(2)),
+        renderer=init_recon_rendernet_params(jax.random.PRNGKey(2),
+                                             new_size=rcfg.new_size),
     )
     if args.random_weights:
         model = templates
@@ -72,10 +74,21 @@ def main(argv=None):
         )
 
     # --- shaded target from GT albedo + normal (host-side Phong; :435-447) ---
-    with open(cfg.target_albedo, "rb") as f:
-        target = decode_image(f.read())[:, :, :3].reshape(1, 512, 512, 3) / 255.0
-    with open(cfg.target_normal, "rb") as f:
-        target_normal = decode_image(f.read())[:, :, :3].reshape(1, 512, 512, 3) / 255.0
+    res = 4 * rcfg.new_size  # the renderer's output resolution (512 @ 128)
+
+    def read_target(path):
+        with open(path, "rb") as f:
+            img = decode_image(f.read())[:, :, :3]
+        if img.shape[0] != res:  # e.g. 512px reference assets, small grid
+            from PIL import Image
+
+            img = np.asarray(
+                Image.fromarray(img).resize((res, res), Image.BILINEAR)
+            )
+        return img.reshape(1, res, res, 3) / 255.0
+
+    target = read_target(cfg.target_albedo)
+    target_normal = read_target(cfg.target_normal)
 
     elevation_gt = (90 - cfg.target_elevation_light) * math.pi / 180.0
     azimuth_gt = cfg.target_azimuth_light * math.pi / 180.0

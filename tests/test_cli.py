@@ -113,3 +113,41 @@ def test_compilation_cache_populates(tmp_path, monkeypatch):
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def test_reconstruct_cli_smoke(tmp_path):
+    """Full workload-3 CLI on the reference's shipped target assets
+    (random frozen nets, tiny grid/budget): shaded-target synthesis,
+    coarse-to-fine optimization, per-epoch image+binvox dumps."""
+    import json
+
+    from rendernet_tpu.cli import reconstruct
+
+    out = str(tmp_path / "recon_run")
+    cfg = {
+        "target_albedo": "/root/reference/data/ply80055_p303_t108_r3.3_albedo.png",
+        "target_normal": "/root/reference/data/ply80055_p303_t108_r3.3_normal.png",
+        "target_azimuth_light": 294,
+        "target_elevation_light": 105,
+        "batch_size": 2,
+        "z_dim": 8,
+        "inner_step": 2,
+        "max_epochs": 1,
+        "new_size": 16,
+        "img_res": 64,
+        "threshold": 0.1,
+        "shape_eta": 0.1,
+        "pose_eta": 0.001,
+        "tex_eta": 0.1,
+        "light_eta": 0.05,
+        "sample_save": out,
+    }
+    cfg_path = str(tmp_path / "recon.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    reconstruct.main([cfg_path, "--random-weights"])
+    files = os.listdir(out)
+    assert "shaded_target.png" in files
+    assert any(f.startswith("epoch0") and f.endswith(".png") for f in files)
+    assert any(f.endswith(".binvox") for f in files)
+    assert "loss_history.npz" in files
