@@ -151,3 +151,36 @@ def test_reconstruct_cli_smoke(tmp_path):
     assert any(f.startswith("epoch0") and f.endswith(".png") for f in files)
     assert any(f.endswith(".binvox") for f in files)
     assert "loss_history.npz" in files
+
+
+def test_train_shader_cli_smoke(tmp_path):
+    """train-shader CLI end to end: config JSON -> synthetic tar ->
+    2 jitted steps over the device mesh -> checkpoint + metrics in the
+    run dir (RenderNet_Shader.py invocation parity)."""
+    import json
+
+    from rendernet_tpu.cli import train_shader
+    from rendernet_tpu.data import make_synthetic_shader_tar
+
+    tar, mdir = make_synthetic_shader_tar(
+        str(tmp_path / "data"), [os.path.join(ASSETS, "chair.binvox")] * 2,
+        poses_deg=((30, 60), (120, 75)), img_res=128,
+    )
+    out = str(tmp_path / "run")
+    cfg = {
+        "image_path": tar, "model_path": mdir, "batch_size": 2,
+        "img_res": 128, "new_size": 32, "e_eta": 1e-4,
+        "compute_dtype": "float32", "max_epochs": 1, "is_greyscale": 1,
+        "sample_save": out, "patch_sizes": [16], "enc_channels": [2, 2, 4],
+        "res1_blocks": 1, "res2_blocks": 1, "res3_blocks": 1, "base": 2,
+    }
+    cfg_path = str(tmp_path / "train.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    train_shader.main([cfg_path, "--max-steps", "2"])
+    files = os.listdir(out)
+    assert "config.json" in files
+    from rendernet_tpu.train.config import TrainConfig as _TC
+
+    ckpt_name = _TC().trained_model_name
+    assert ckpt_name in files, files  # checkpoint written at max_steps exit
