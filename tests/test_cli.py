@@ -171,8 +171,7 @@ def test_train_shader_cli_smoke(tmp_path):
         "image_path": tar, "model_path": mdir, "batch_size": 2,
         "img_res": 128, "new_size": 32, "e_eta": 1e-4,
         "compute_dtype": "float32", "max_epochs": 1, "is_greyscale": 1,
-        "sample_save": out, "patch_sizes": [16], "enc_channels": [2, 2, 4],
-        "res1_blocks": 1, "res2_blocks": 1, "res3_blocks": 1, "base": 2,
+        "sample_save": out,
     }
     cfg_path = str(tmp_path / "train.json")
     with open(cfg_path, "w") as f:
