@@ -9,6 +9,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("config", type=str, help="path to a JSON training config")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--no-mesh", action="store_true")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host coordinator address host:port "
+                        "(or set JAX_COORDINATOR_ADDRESS)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 

@@ -183,3 +183,30 @@ def test_train_shader_cli_smoke(tmp_path):
 
     ckpt_name = _TC().trained_model_name
     assert ckpt_name in files, files  # checkpoint written at max_steps exit
+
+
+def test_train_texture_cli_smoke(tmp_path):
+    """train-texture CLI end to end on a synthetic face dataset
+    (RenderNet_Texture_Face_Normal.py invocation parity)."""
+    import json
+
+    from rendernet_tpu.cli import train_texture
+    from rendernet_tpu.data import synthetic_face_dataset
+
+    tar, mdir, tdir, ndir = synthetic_face_dataset(
+        str(tmp_path / "face"), [os.path.join(ASSETS, "chair.binvox")],
+        poses_deg=((30, 60),), img_res=128,
+    )
+    out = str(tmp_path / "run")
+    cfg = {
+        "image_path": tar, "model_path": mdir, "texture_path": tdir,
+        "normal_path": ndir, "batch_size": 1, "img_res": 128,
+        "new_size": 32, "e_eta": 1e-4, "compute_dtype": "float32",
+        "max_epochs": 1, "is_greyscale": 0, "sample_save": out,
+        "resample": "exact",
+    }
+    cfg_path = str(tmp_path / "tex.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    train_texture.main([cfg_path, "--max-steps", "1"])
+    assert "config.json" in os.listdir(out)
