@@ -505,3 +505,91 @@ def test_adam_staircase_trajectory_matches_tf(rng):
         upd, state = tx.update(jax.grad(loss_fn)(params), state, params)
         params = jax.tree.map(lambda p, u: p + u, params, upd)
         np.testing.assert_allclose(np.asarray(params["w"]), tf_tr[i], atol=2e-6)
+
+
+def test_full_shader_network_gradients_match_tf(rng):
+    """Pixel-gradient parity (BASELINE.md north-star clause 2): d loss /
+    d voxel-grid through the ENTIRE shader network matches TF's autodiff
+    of the mirror graph."""
+    from rendernet_tpu.models.shader import (
+        ShaderConfig,
+        init_shader_params,
+        shader_rendernet,
+    )
+
+    cfg = ShaderConfig(out_channels=1, enc_channels=(2, 2, 4), res1_blocks=1,
+                       res2_blocks=1, res3_blocks=1, base=2, new_size=16)
+    params = {
+        k: np.asarray(v)
+        for k, v in init_shader_params(jax.random.PRNGKey(3), cfg).items()
+    }
+    rng2 = np.random.default_rng(5)
+    for k in params:
+        if k.endswith("alpha"):
+            params[k] = rng2.uniform(0.1, 0.5, params[k].shape).astype(np.float32)
+    vox = rng.standard_normal((1, 16, 16, 16, 1)).astype(np.float32)
+    probe = rng.standard_normal((1, 64, 64, 1)).astype(np.float32)
+
+    def jloss(v):
+        out = shader_rendernet(
+            Module(params={k: jnp.asarray(p) for k, p in params.items()}),
+            v, cfg,
+        )
+        return jnp.sum(out * probe)
+
+    ours = np.asarray(jax.grad(jloss)(jnp.asarray(vox)))
+
+    P = {k: tf.constant(v) for k, v in params.items()}
+
+    def prelu(x, path):
+        return tf.maximum(x, 0.0) + P[path + "/alpha"] * tf.minimum(x, 0.0)
+
+    def conv(x, path, stride, nd=2):
+        op = tf.nn.conv3d if nd == 3 else tf.nn.conv2d
+        return op(x, P[path + "/weights"], strides=[1, *stride, 1],
+                  padding="SAME") + P[path + "/biases"]
+
+    def deconv(x, path, stride, out_ch):
+        w = P[path + "/weights"]
+        b, h, wd, _ = x.shape
+        out_shape = [b, h * stride, wd * stride, out_ch]
+        return tf.nn.conv2d_transpose(
+            x, w, output_shape=out_shape, strides=[1, stride, stride, 1],
+            padding="SAME") + P[path + "/biases"]
+
+    def res_block(x, path, nd=2):
+        net = conv(x, f"{path}/con1_3X3", (1,) * nd, nd)
+        net = prelu(net, path)
+        net = conv(net, f"{path}/conv2_3x3", (1,) * nd, nd)
+        return net + x
+
+    vt = tf.Variable(vox)
+    with tf.GradientTape() as tape:
+        x = vt
+        x = prelu(conv(x, "encoder/e_conv1/e_conv1", (2, 2, 2), 3), "encoder/e_conv1")
+        x = prelu(conv(x, "encoder/e_conv2/e_conv2", (1, 1, 2), 3), "encoder/e_conv2")
+        x = prelu(conv(x, "encoder/e_conv3/e_conv3", (1, 1, 1), 3), "encoder/e_conv3")
+        shortcut = x
+        x = res_block(x, "encoder/res1_1", nd=3)
+        x = conv(x, "encoder/res1_skip/con1_3X3", (1, 1, 1), 3) + shortcut
+        b, h, w, d, c = x.shape
+        x = tf.reshape(x, [b, h, w, d * c])
+        x = prelu(conv(x, "encoder/projection_unit/Conv", (1, 1)),
+                  "encoder/projection_unit")
+        shortcut = x
+        x = res_block(x, "encoder/res2_1")
+        x = conv(x, "encoder/res2_skip/con1_3X3", (1, 1)) + shortcut
+        x = prelu(conv(x, "encoder/e_conv5/e_conv5", (1, 1)), "encoder/e_conv5")
+        shortcut = x
+        x = res_block(x, "encoder/res3_1")
+        x = conv(x, "encoder/res3_skip/con1_3X3", (1, 1)) + shortcut
+        x = prelu(conv(x, "encoder/e_conv6/e_conv6", (1, 1)), "encoder/e_conv6")
+        x = prelu(deconv(x, "encoder/e_conv7/e_conv7", 2, 8), "encoder/e_conv7")
+        x = prelu(deconv(x, "encoder/e_conv7_1/e_conv7_1", 1, 8), "encoder/e_conv7_1")
+        x = prelu(deconv(x, "encoder/e_conv8/e_conv8", 2, 4), "encoder/e_conv8")
+        x = prelu(deconv(x, "encoder/e_conv9/e_conv9", 2, 2), "encoder/e_conv9")
+        x = prelu(deconv(x, "encoder/e_conv10/e_conv10", 1, 16), "encoder/e_conv10")
+        x = tf.sigmoid(deconv(x, "encoder/e_conv11", 1, 1))
+        loss = tf.reduce_sum(x * probe)
+    want = tape.gradient(loss, vt).numpy()
+    np.testing.assert_allclose(ours, want, atol=3e-5)
