@@ -389,3 +389,28 @@ def test_pipelined_guard_delays_one_step_and_flushes():
     with pytest.raises(FloatingPointError, match="step 7"):
         guard2.flush(state)  # tail loss still checked at exit
     guard2.flush(state)  # idempotent once drained
+
+
+def test_spatially_sharded_training_matches_local(rng):
+    """A full TRAIN step with batch over 'data' AND voxel/image rows over
+    'model' (dp+sp — XLA halo exchanges through resample, crop, convs and
+    their gradients) reproduces the local loss."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from rendernet_tpu.train.distributed import make_mesh, replicate
+
+    vox, images, poses = _tiny_batch(rng)
+    key = jax.random.PRNGKey(1)
+    state, tx = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, TINY)
+    step = make_shader_train_step(TINY_MODEL, TINY, tx, patch_size=32)
+    _, loss_local = step(state, vox, images, poses, key)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    state2, _ = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, TINY)
+    state2 = replicate(mesh, state2)
+    vox_s = jax.device_put(vox, NamedSharding(mesh, P("data", "model")))
+    img_s = jax.device_put(images, NamedSharding(mesh, P("data", "model")))
+    poses_s = jax.device_put(poses, NamedSharding(mesh, P("data")))
+    _, loss_sp = step(state2, vox_s, img_s, poses_s, key)
+    assert float(loss_sp) == pytest.approx(float(loss_local), rel=1e-5)
