@@ -34,7 +34,9 @@ def main(argv=None):
         cfg,
         max_steps=args.max_steps,
         use_mesh=not args.no_mesh,
-        progress=lambda step, loss: print(f"Step {step} Loss {loss}"),
+        progress=lambda step, loss: (
+            step % 20 == 0 and print(f"Step {step} Loss {float(loss)}")
+        ),
     )
 
 

@@ -265,7 +265,10 @@ def train_shader(
                 global_step += 1
                 guard.push(loss, state, global_step, epoch)
                 if progress is not None:
-                    progress(global_step, float(loss))
+                    # device scalar, not float(): the callback decides
+                    # whether to sync (a per-step fetch costs a dispatch
+                    # bubble; the CLIs throttle their prints)
+                    progress(global_step, loss)
                 if global_step % cfg.sample_every_steps == 0:
                     run.log(step=global_step, epoch=epoch, loss=float(loss))
                     if cfg.skip_nonfinite_updates > 0:
@@ -383,7 +386,10 @@ def train_texture(
                 global_step += 1
                 guard.push(loss, state, global_step, epoch)
                 if progress is not None:
-                    progress(global_step, float(loss))
+                    # device scalar, not float(): the callback decides
+                    # whether to sync (a per-step fetch costs a dispatch
+                    # bubble; the CLIs throttle their prints)
+                    progress(global_step, loss)
                 if global_step % cfg.sample_every_steps == 0:
                     run.log(step=global_step, epoch=epoch, loss=float(loss))
                     if cfg.skip_nonfinite_updates > 0:
