@@ -182,3 +182,34 @@ def test_decode_image_uses_native_path_and_matches_pil():
     buf = _io.BytesIO()
     Image.fromarray(arr).save(buf, format="PNG")
     np.testing.assert_array_equal(decode_image(buf.getvalue()), arr)
+
+
+def test_native_png_decode_thread_safety():
+    """Concurrent decodes (the prefetch thread + loader threads release the
+    GIL in the C call) must be reentrant and correct."""
+    import concurrent.futures
+    import io as _io
+
+    from PIL import Image
+
+    from rendernet_tpu.io import native_img
+
+    if not native_img.available():
+        pytest.skip("native imgio not built")
+    rng = np.random.default_rng(3)
+    arrays, bufs = [], []
+    for i in range(8):
+        arr = rng.integers(0, 256, size=(96 + i, 64, 3), dtype=np.uint8)
+        b = _io.BytesIO()
+        Image.fromarray(arr).save(b, format="PNG")
+        arrays.append(arr)
+        bufs.append(b.getvalue())
+
+    def work(i):
+        for _ in range(5):
+            got = native_img.decode_png(bufs[i])
+            np.testing.assert_array_equal(got, arrays[i])
+        return i
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        assert sorted(ex.map(work, range(8))) == list(range(8))
