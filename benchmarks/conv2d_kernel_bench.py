@@ -93,6 +93,10 @@ def main(sweep: bool = False, batch: int = 24):
                         cands.append((bn, bh, bb))
             for tile in cands:
                 pallas_conv2d.TILE_OVERRIDE = tile
+                # TILE_OVERRIDE is read at trace time; the trace cache is
+                # keyed on function identity + shapes and would silently
+                # reuse the previous tile's executable.
+                jax.clear_caches()
                 try:
                     measure(
                         f"pallas_wc2d_{c}ch_{hw}sp_fwd_tile{tile}",

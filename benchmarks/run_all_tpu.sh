@@ -3,12 +3,12 @@
 # Runs each benchmark in its own process (keeps executables-per-process
 # low on the tunneled platform) and appends JSON lines to the log.
 # Usage: nohup bash benchmarks/run_all_tpu.sh > /tmp/tpu_measure.log 2>&1 &
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 
 run() {
   echo "=== $* ($(date +%H:%M:%S))"
-  timeout 3600 python "$@" 2>&1 | grep -v -i warning
+  timeout 3600 python "$@" 2>&1 | { grep -v -i warning || true; }
   echo "=== exit $? ($(date +%H:%M:%S))"
 }
 

@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     c5.add_argument("--out_channels", type=int, default=3,
                     help="shader head width (the released demo pb is the "
                          "3-channel normal-map net)")
+    c5.add_argument("--allow-missing", action="store_true",
+                    help="tolerate params the pb doesn't provide (they keep "
+                         "random template init; a WARNING reports the count)")
 
     c4 = sub.add_parser("freeze")
     c4.add_argument("weights", type=str,
@@ -156,7 +159,8 @@ def main(argv=None):
             )
         else:
             template = _template(args.model)
-        params = params_from_frozen_pb(template, args.pb, strict=False)
+        params = params_from_frozen_pb(template, args.pb,
+                                       strict=not args.allow_missing)
         save_params_npz(args.out, params)
         print(f"wrote {len(params)} params to {args.out}")
     else:

@@ -79,7 +79,7 @@ def main(argv=None):
     def read_target(path):
         with open(path, "rb") as f:
             img = decode_image(f.read())[:, :, :3]
-        if img.shape[0] != res:  # e.g. 512px reference assets, small grid
+        if img.shape[:2] != (res, res):  # e.g. 512px reference assets, small grid
             from PIL import Image
 
             img = np.asarray(

@@ -72,8 +72,14 @@ def params_from_frozen_pb(
                 f"{path}: pb tensor shape {src.shape} != template {want}"
             )
         out[path] = src.astype(np.asarray(value).dtype)
-    if strict and missing:
-        raise KeyError(
-            f"frozen pb is missing {len(missing)} params, e.g. {missing[:5]}"
+    if missing:
+        if strict:
+            raise KeyError(
+                f"frozen pb is missing {len(missing)} params, e.g. {missing[:5]}"
+            )
+        print(
+            f"WARNING: frozen pb provided {len(template) - len(missing)}/"
+            f"{len(template)} params; {len(missing)} keep template init, "
+            f"e.g. {missing[:3]}"
         )
     return out

@@ -33,30 +33,42 @@ def _checkpointer():
 
 
 def save_checkpoint(path: str, state: Any) -> None:
-    """Save any pytree (e.g. TrainState) to an Orbax checkpoint directory.
+    """Save any pytree (e.g. TrainState) to a checkpoint.
 
-    The tree is stored as numbered leaves so arbitrary containers
-    (NamedTuples, optax states) round-trip; restore with a ``target`` of the
-    same structure to get the typed object back. For a human-inspectable
-    params archive use :func:`save_params_npz`.
+    Single process: an Orbax checkpoint directory. Multi-host: the chief
+    writes one flat ``.npz`` of numbered leaves instead — params/opt state
+    are replicated (train.distributed.replicate) so every host holds the
+    full state, and Orbax's save runs global sync barriers that a
+    chief-only call would deadlock on, while all-hosts Orbax saves of
+    host-local numpy trees would race on the same files. The tree is
+    stored as numbered leaves either way so arbitrary containers
+    (NamedTuples, optax states) round-trip; restore with a ``target`` of
+    the same structure. For a human-inspectable params archive use
+    :func:`save_params_npz`.
     """
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        # Params/opt state are replicated (train.distributed.replicate), so
-        # every host holds the full state; only the chief writes, or
-        # multi-host runs would race on the same files.
-        return
     path = os.path.abspath(path)
     leaves = jax.tree.leaves(state)
-    _checkpointer().save(
-        path, {str(i): np.asarray(leaf) for i, leaf in enumerate(leaves)},
-        force=True,
-    )
+    numbered = {str(i): np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    if jax.process_count() > 1:
+        if jax.process_index() == 0:
+            tmp = path + ".npz.tmp"
+            np.savez(tmp, **numbered)
+            os.replace(tmp, path + ".npz")
+        return
+    _checkpointer().save(path, numbered, force=True)
 
 
 def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
-    """Restore a checkpoint; with ``target`` rebuilds its exact structure."""
+    """Restore a checkpoint; with ``target`` rebuilds its exact structure.
+
+    Reads the multi-host flat ``.npz`` form when present, else the Orbax
+    directory."""
     path = os.path.abspath(path)
-    data = _checkpointer().restore(path)
+    if os.path.exists(path + ".npz"):
+        with np.load(path + ".npz") as z:
+            data = {k: z[k] for k in z.files}
+    else:
+        data = _checkpointer().restore(path)
     if target is None:
         return data
     leaves = [data[str(i)] for i in range(len(data))]

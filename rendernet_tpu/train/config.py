@@ -72,8 +72,10 @@ class TrainConfig:
     # Failure recovery: when > 0, updates with non-finite gradients are
     # ALWAYS rejected on-device (train.optim.reject_nonfinite) — params
     # and optimizer state cannot be poisoned. The loop halts with a clear
-    # error once this many CONSECUTIVE updates were rejected (checked on
-    # non-finite losses and at the periodic logging sync points).
+    # error once this many CONSECUTIVE updates were rejected, checked at
+    # sync points (non-finite losses, periodic logging, checkpoint
+    # writes); a burst that self-clears between sync points is tolerated
+    # by design (params were never touched).
     # NOTE: toggling this changes the optimizer-state pytree, so a run
     # directory checkpointed with the other setting will not auto-resume;
     # start a fresh run dir (params migrate via params_latest.npz).

@@ -55,7 +55,11 @@ def _halt_if_rejecting(cfg: TrainConfig, run, state, global_step: int,
     consecutive updates (reject_nonfinite never accepts a bad update, so
     params stay clean — this is pure failure DETECTION). Reading the
     count is a device fetch, so callers invoke this only at points that
-    already sync (non-finite loss, periodic logging)."""
+    already sync (non-finite loss, periodic logging, checkpoint writes).
+    A burst that self-clears between sync points is deliberately
+    tolerated — params were never touched — and remains visible in the
+    cumulative ``total_notfinite`` reported with the next rejection
+    event."""
     consecutive = int(state.opt_state.notfinite_count)
     if consecutive == 0:
         return
@@ -142,7 +146,8 @@ def _maybe_resume(ckpt_dir: str, state, run):
     """Crash-resume: restore the last checkpoint if one exists in the run
     dir (parity with tf.train.Supervisor's auto-restore,
     RenderNet_Shader.py:179-187)."""
-    if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+    has_orbax = os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+    if has_orbax or os.path.exists(ckpt_dir + ".npz"):  # multi-host flat form
         try:
             state = restore_checkpoint(ckpt_dir, state)
         except Exception as e:
@@ -196,7 +201,7 @@ def train_shader(
     model_cfg: Optional[ShaderConfig] = None,
     max_steps: Optional[int] = None,
     use_mesh: bool = True,
-    progress: Optional[Callable[[int, float], None]] = None,
+    progress: Optional[Callable[[int, "jnp.ndarray"], None]] = None,
 ):
     """Run shader training from a TrainConfig; returns the final TrainState."""
     model_cfg = model_cfg or ShaderConfig(
@@ -282,6 +287,9 @@ def train_shader(
                         np.asarray(batch[1][0]),
                     )
                 if time.time() - last_ckpt > cfg.checkpoint_secs:
+                    # settle the guard first: never checkpoint params a
+                    # pending non-finite loss would have halted on
+                    guard.flush(state)
                     save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
                     save_params_npz(
                         os.path.join(run.root, "params_latest.npz"),
@@ -326,7 +334,7 @@ def train_texture(
     model_cfg: Optional[TextureFaceConfig] = None,
     max_steps: Optional[int] = None,
     use_mesh: bool = True,
-    progress: Optional[Callable[[int, float], None]] = None,
+    progress: Optional[Callable[[int, "jnp.ndarray"], None]] = None,
 ):
     """Run texture/normal face training; returns the final TrainState."""
     model_cfg = model_cfg or TextureFaceConfig(
@@ -395,6 +403,9 @@ def train_texture(
                     if cfg.skip_nonfinite_updates > 0:
                         _halt_if_rejecting(cfg, run, state, global_step, epoch)
                 if time.time() - last_ckpt > cfg.checkpoint_secs:
+                    # settle the guard first: never checkpoint params a
+                    # pending non-finite loss would have halted on
+                    guard.flush(state)
                     save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
                     save_params_npz(
                         os.path.join(run.root, "params_latest.npz"),

@@ -414,3 +414,23 @@ def test_spatially_sharded_training_matches_local(rng):
     poses_s = jax.device_put(poses, NamedSharding(mesh, P("data")))
     _, loss_sp = step(state2, vox_s, img_s, poses_s, key)
     assert float(loss_sp) == pytest.approx(float(loss_local), rel=1e-5)
+
+
+def test_restore_checkpoint_reads_multihost_flat_form(tmp_path):
+    """restore_checkpoint prefers the multi-host flat .npz form (written by
+    the chief; Orbax's barriers can't be used chief-only)."""
+    import numpy as np
+
+    from rendernet_tpu.train import restore_checkpoint
+
+    state, _ = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, TINY)
+    leaves = jax.tree.leaves(state)
+    path = str(tmp_path / "ckpt")
+    np.savez(path + ".npz",
+             **{str(i): np.asarray(l) for i, l in enumerate(leaves)})
+    restored = restore_checkpoint(path, state)
+    assert type(restored).__name__ == "TrainState"
+    k = "encoder/e_conv1/e_conv1/weights"
+    np.testing.assert_array_equal(
+        np.asarray(state.params[k]), np.asarray(restored.params[k])
+    )
