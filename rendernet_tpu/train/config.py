@@ -83,6 +83,12 @@ class TrainConfig:
     # Cache device-resident batches across epochs (small, deterministic
     # datasets only — eliminates repeat host->device transfers entirely).
     cache_chunks: bool = False
+    # Gradient accumulation: split each batch into this many microbatches,
+    # accumulate fp32 gradients across them (lax.scan), apply ONE optimizer
+    # update. Exact same update as the full batch (shared crop/dropout rng,
+    # mean-reduced losses) with 1/N the activation memory — big batches on
+    # small chips. batch_size must divide evenly.
+    grad_accum_steps: int = 1
     # Background input pipeline: decode up to this many chunks ahead on a
     # host thread so PNG/binvox decode overlaps device compute (the
     # reference's generators are synchronous — tools/data_util.py:64).

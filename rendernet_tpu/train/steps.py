@@ -104,6 +104,41 @@ def _as_f32(x):
     return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
 
 
+def _accumulated_value_and_grad(loss_fn, params, batch_arrays, accum: int):
+    """Mean loss and gradient over ``accum`` microbatches via lax.scan.
+
+    ``loss_fn(params, *microbatch)`` must be a MEAN-reduced loss (all ours
+    are), so averaging per-microbatch grads of equal sizes reproduces the
+    full-batch gradient exactly; fp32 accumulators. One live microbatch of
+    activations instead of the whole batch."""
+    b = batch_arrays[0].shape[0]
+    if b % accum:
+        raise ValueError(f"batch size {b} not divisible by grad_accum={accum}")
+    micro = tuple(
+        a.reshape(accum, b // accum, *a.shape[1:]) for a in batch_arrays
+    )
+    vg = jax.value_and_grad(loss_fn)
+
+    def acc_dtype(p):  # at least fp32; follows f64 params under x64
+        return jnp.promote_types(jnp.result_type(p), jnp.float32)
+
+    def body(carry, xs):
+        loss_sum, grad_sum = carry
+        loss, grads = vg(params, *xs)
+        grad_sum = jax.tree.map(
+            lambda s, g: s + g.astype(s.dtype), grad_sum, grads
+        )
+        return (loss_sum + loss.astype(loss_sum.dtype), grad_sum), None
+
+    zeros = jax.tree.map(
+        lambda p: jnp.zeros(jnp.shape(p), acc_dtype(p)), params
+    )
+    loss0 = jnp.zeros((), acc_dtype(jax.tree.leaves(params)[0]))
+    (loss_sum, grad_sum), _ = jax.lax.scan(body, (loss0, zeros), micro)
+    scale = 1.0 / accum
+    return loss_sum * scale, jax.tree.map(lambda g: g * scale, grad_sum)
+
+
 def shader_loss_from_images(
     pred: jnp.ndarray, target: jnp.ndarray, greyscale: bool
 ) -> jnp.ndarray:
@@ -162,11 +197,19 @@ def make_shader_train_step(
         pred = shader_rendernet(m, vox_c.astype(cdt), model_cfg)
         return shader_loss_from_images(pred, img_c, greyscale)
 
+    accum = cfg.grad_accum_steps
+
     def step(state: TrainState, voxels, images, poses, rng):
         rng = jax.random.fold_in(rng, state.step)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, voxels, images, poses, rng
-        )
+        if accum > 1:
+            loss, grads = _accumulated_value_and_grad(
+                lambda p, v, i, q: loss_fn(p, v, i, q, rng),
+                state.params, (voxels, images, poses), accum,
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, voxels, images, poses, rng
+            )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
@@ -234,11 +277,20 @@ def make_texture_train_step(
             albedo, img_c, greyscale=False
         ) + shader_loss_from_images(normal_pred, nrm_c, greyscale=False)
 
+    accum = cfg.grad_accum_steps
+
     def step(state: TrainState, voxels, images, normals, textures, poses, rng):
         rng = jax.random.fold_in(rng, state.step)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, voxels, images, normals, textures, poses, rng
-        )
+        if accum > 1:
+            loss, grads = _accumulated_value_and_grad(
+                lambda p, v, i, n, t, q: loss_fn(p, v, i, n, t, q, rng),
+                state.params, (voxels, images, normals, textures, poses),
+                accum,
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, voxels, images, normals, textures, poses, rng
+            )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss

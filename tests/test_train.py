@@ -434,3 +434,88 @@ def test_restore_checkpoint_reads_multihost_flat_form(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(state.params[k]), np.asarray(restored.params[k])
     )
+
+
+def test_grad_accumulation_matches_full_batch(rng):
+    """Accumulated loss/gradients equal the full-batch ones. Exactness is
+    asserted in float64 (in fp32 the per-microbatch partial sums quantize
+    before averaging — inherent to any gradient accumulation — so the fp32
+    check is the end-to-end loss trajectory)."""
+    import dataclasses
+
+    from rendernet_tpu.models.shader import shader_rendernet
+    from rendernet_tpu.nn.layers import Module
+    from rendernet_tpu.ops.resample import rotate_resample_to_camera
+    from rendernet_tpu.train.steps import (
+        _accumulated_value_and_grad,
+        shader_loss_from_images,
+    )
+
+    vox, images, poses = _tiny_batch(rng, batch=4)
+    images = jnp.full_like(images, 0.25)
+    key = jax.random.PRNGKey(9)
+    cfg = dataclasses.replace(TINY, batch_size=4)
+    state, _ = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, cfg)
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        p64 = jax.tree.map(lambda p: jnp.asarray(np.asarray(p), jnp.float64),
+                           state.params)
+        v64 = vox.astype(jnp.float64)
+        i64 = images.astype(jnp.float64)
+        q64 = poses.astype(jnp.float64)
+
+        def loss_fn(params, v, i, q):
+            cam = rotate_resample_to_camera(v, q, new_size=cfg.new_size)
+            pred = shader_rendernet(
+                Module(params=params, compute_dtype=jnp.float64), cam,
+                TINY_MODEL,
+            )
+            return jnp.mean(
+                -jnp.sum(
+                    i * jnp.log(1e-6 + pred)
+                    + (1.0 - i) * jnp.log(1e-6 + 1.0 - pred),
+                    axis=(1, 2, 3),
+                )
+            )
+
+        # Compare both under jit (eager vs compiled differ by XLA
+        # reassociation; accumulation itself is exact).
+        lf, gf = jax.jit(jax.value_and_grad(loss_fn))(p64, v64, i64, q64)
+        la, ga = jax.jit(
+            lambda p, v, i, q: _accumulated_value_and_grad(
+                loss_fn, p, (v, i, q), 2
+            )
+        )(p64, v64, i64, q64)
+        assert float(la) == pytest.approx(float(lf), rel=1e-10)
+        for k in gf:
+            scale = max(1e-12, float(np.abs(np.asarray(gf[k])).max()))
+            np.testing.assert_allclose(
+                np.asarray(ga[k]) / scale, np.asarray(gf[k]) / scale,
+                atol=1e-9, err_msg=k,
+            )
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    # fp32 end-to-end: the jitted accumulating step tracks the full-batch
+    # loss trajectory over several Adam steps.
+    cfg2 = dataclasses.replace(cfg, grad_accum_steps=2)
+    state2, tx2 = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, cfg2)
+    step2 = make_shader_train_step(TINY_MODEL, cfg2, tx2, patch_size=32)
+    state1, tx1 = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, cfg)
+    step1 = make_shader_train_step(TINY_MODEL, cfg, tx1, patch_size=32)
+    for _ in range(3):
+        state1, loss1 = step1(state1, vox, images, poses, key)
+        state2, loss2 = step2(state2, vox, images, poses, key)
+        assert float(loss2) == pytest.approx(float(loss1), rel=1e-4)
+
+
+def test_grad_accumulation_validates_divisibility(rng):
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, batch_size=3, grad_accum_steps=2)
+    state, tx = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, cfg)
+    step = make_shader_train_step(TINY_MODEL, cfg, tx, patch_size=32)
+    vox, images, poses = _tiny_batch(rng, batch=3)
+    with pytest.raises(ValueError, match="divisible"):
+        step(state, vox, images, poses, jax.random.PRNGKey(0))
