@@ -144,8 +144,14 @@ DEPTH_PACK = "auto"
 PALLAS_CONV3D = "auto"
 
 # Implicit-GEMM Pallas kernel for the wide-channel 3x3 stride-1 convs of the
-# 2D res stacks (ops/pallas_conv2d.py). Same gating.
-PALLAS_CONV2D = "auto"
+# 2D res stacks (ops/pallas_conv2d.py). Same gating — but the default is
+# OFF until the kernel has been compiled and timed on real TPU hardware:
+# the tunnel was down when it landed, XLA is already near MXU
+# speed-of-light on these shapes (docs/design.md), and the wgrad kernel's
+# VMEM working set is tight. benchmarks/conv2d_kernel_bench.py measures
+# kernel-vs-XLA and the end-to-end step with this forced on/off; flip to
+# "auto" if it wins.
+PALLAS_CONV2D = False
 
 
 def _pallas2d_enabled() -> bool:
