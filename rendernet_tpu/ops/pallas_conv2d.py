@@ -82,6 +82,45 @@ def _vmem_bytes(bh, bb, bn, wd, cch, xbytes):
     return xrows + wtile + out + acc
 
 
+def _vmem_bytes_wgrad(bh, bb, bn, wd, cch, xbytes):
+    """Weight-grad kernel working set: the pinned fp32 [3,3,C,bn] output
+    block dominates, so the wgrad pass picks its own (usually smaller-bn)
+    tiling instead of sharing the forward's."""
+    xrows = 2 * (bh + 2) * (wd + 2) * bb * cch * xbytes
+    gy = 2 * bh * wd * bb * bn * xbytes
+    out = 9 * cch * bn * 4
+    acc = cch * bn * 4
+    return xrows + gy + out + acc
+
+
+def _tiles_wgrad(h, wd, b, cch, co, xbytes):
+    """(bn, bh, bb) for the weight-grad kernel, or None.
+
+    The GEMM contraction dim is M = wd*bb, so larger bb amortizes the MXU
+    better; input refetch cost mirrors the forward's."""
+    if TILE_OVERRIDE is not None:
+        return TILE_OVERRIDE
+    best = None
+    for bn in (256, 128):
+        if co % bn:
+            continue
+        for bb in _divisors_desc(b):
+            m = wd * bb
+            if m > 512 or m % 8:
+                continue
+            for bh in (8, 4, 2, 1):
+                if h % bh:
+                    continue
+                if _vmem_bytes_wgrad(bh, bb, bn, wd, cch, xbytes) > _VMEM_BUDGET:
+                    continue
+                cost = (bh + 2) / bh * (co // bn)
+                key = (cost, -m, -bh)
+                if best is None or key < best[0]:
+                    best = (key, (bn, bh, bb))
+                break
+    return None if best is None else best[1]
+
+
 def _tiles(h, wd, b, cch, co, xbytes):
     """(bn, bh, bb) fitting the VMEM budget, or None.
 
@@ -122,7 +161,10 @@ def wc_conv2d_supported(x_shape, w_shape, stride) -> bool:
     b, h, wd, c = x_shape
     if c != ci or ci % 128 or co % 128 or ci < 256:
         return False
-    return _tiles(h, wd, b, ci, co, 2) is not None
+    return (
+        _tiles(h, wd, b, ci, co, 2) is not None
+        and _tiles_wgrad(h, wd, b, ci, co, 2) is not None
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -264,8 +306,9 @@ def _wc_bwd(res, gy):
     wf = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
     gx = _wc_conv2d_padded(_pad_hw(gy), wf, xp.dtype)
 
-    # Weight grad: pinned [3,3,C,bn] fp32 accumulators over the (B, H) grid.
-    tiles = _tiles(h, wd, b, cch, co, _dtype_bytes(xp.dtype))
+    # Weight grad: pinned [3,3,C,bn] fp32 accumulators over the (B, H) grid,
+    # with its own tiling (the pinned block dominates its VMEM).
+    tiles = _tiles_wgrad(h, wd, b, cch, co, _dtype_bytes(xp.dtype))
     bn, bh, bb = tiles
     kern = functools.partial(
         _wgrad_kernel, wd=wd, bb=bb, cch=cch, bn=bn, bh=bh
