@@ -11,6 +11,8 @@ from rendernet_tpu.models.texture_face import TextureFaceConfig
 from rendernet_tpu.train.config import TrainConfig
 from rendernet_tpu.train.loop import train_shader, train_texture
 
+pytestmark = pytest.mark.slow
+
 ASSETS = "/root/reference/binvox"
 
 

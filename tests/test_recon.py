@@ -23,6 +23,8 @@ from rendernet_tpu.recon import (
     subdivided_latents,
 )
 
+pytestmark = pytest.mark.slow
+
 CFG = ReconConfig(
     z_dim=16,
     batch_size=5,

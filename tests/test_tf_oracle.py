@@ -14,6 +14,8 @@ import pytest
 
 tf = pytest.importorskip("tensorflow")
 
+pytestmark = pytest.mark.slow
+
 from rendernet_tpu.nn import layers  # noqa: E402
 from rendernet_tpu.nn.layers import Module  # noqa: E402
 
