@@ -81,8 +81,10 @@ def main(sweep: bool = False, batch: int = 24):
             cands = []
             for bn in (256, 128):
                 for bh in (8, 4, 2):
-                    for bb in (16, 12, 8, 6, 4, 2):
+                    for bb in (24, 16, 8):
                         if batch % bb or h % bh or c % bn:
+                            continue
+                        if not pallas_conv2d._bb_ok(bb, batch):
                             continue
                         if hw * bb > 512 or (hw * bb) % 8:
                             continue

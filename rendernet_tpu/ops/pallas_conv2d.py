@@ -53,9 +53,12 @@ __all__ = [
     "hwnc_to_nhwc",
 ]
 
-# VMEM budget for tile selection (bytes). v5e has 16 MiB more but Mosaic
-# needs headroom for double-buffered pipelining; tiles shrink to fit.
+# VMEM budget for tile selection (bytes). The model undercounts Mosaic's
+# true scoped allocation by ~1.3x (extra staging buffers), so the kernels
+# also raise the scoped-vmem limit from its 16 MiB default; measured OK on
+# v5e (physical VMEM is far larger than the default scoped limit).
 _VMEM_BUDGET = 13 * 1024 * 1024
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _on_tpu() -> bool:
@@ -93,6 +96,13 @@ def _vmem_bytes_wgrad(bh, bb, bn, wd, cch, xbytes):
     return xrows + gy + out + acc
 
 
+def _bb_ok(bb: int, b: int) -> bool:
+    """Mosaic block-shape rule: bb sits in the second-to-last block dim of
+    the activation/output blocks, so it must be a multiple of 8 or span the
+    whole batch (enforced by the TPU lowering; interpret mode is looser)."""
+    return bb % 8 == 0 or bb == b
+
+
 def _tiles_wgrad(h, wd, b, cch, co, xbytes):
     """(bn, bh, bb) for the weight-grad kernel, or None.
 
@@ -105,6 +115,8 @@ def _tiles_wgrad(h, wd, b, cch, co, xbytes):
         if co % bn:
             continue
         for bb in _divisors_desc(b):
+            if not _bb_ok(bb, b):
+                continue
             m = wd * bb
             if m > 512 or m % 8:
                 continue
@@ -135,6 +147,8 @@ def _tiles(h, wd, b, cch, co, xbytes):
         if co % bn:
             continue
         for bb in _divisors_desc(b):
+            if not _bb_ok(bb, b):
+                continue
             m = wd * bb
             if m > 512 or m % 8:
                 continue
@@ -256,6 +270,7 @@ def _conv_call(xp, w9, bn, bh, bb, out_dtype):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((h, wd, b, co), out_dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=not _on_tpu(),
     )(w9, *([xp] * (bh + 2)))
 
@@ -328,6 +343,7 @@ def _wc_bwd(res, gy):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((3, 3, cch, co), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=not _on_tpu(),
     )(gy, *([xp] * (bh + 2)))
     return gx, gw.astype(w.dtype)
