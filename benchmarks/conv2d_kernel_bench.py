@@ -68,13 +68,40 @@ def main(sweep: bool = False, batch: int = 24):
         measure(f"pallas_wc2d_{c}ch_{hw}sp_fwd",
                 pallas_conv2d.wc_conv2d_hwnc, (xh, w), flops)
 
-        def fwd_bwd(fn):
-            def f(x, w):
-                return jnp.sum(fn(x, w).astype(jnp.float32) ** 2)
-            return lambda x, w: jax.grad(f, argnums=(0, 1))(x, w)
+        def fwd_bwd(fn, nargs=2):
+            def f(*a):
+                return jnp.sum(fn(*a).astype(jnp.float32) ** 2)
+            return lambda *a: jax.grad(f, argnums=tuple(range(nargs)))(*a)
 
         measure(f"pallas_wc2d_{c}ch_{hw}sp_fwd_bwd",
                 fwd_bwd(pallas_conv2d.wc_conv2d_hwnc), (xh, w), 3 * flops)
+
+        # Fused conv+bias+PReLU epilogue vs XLA's epilogue-fused conv
+        # (the measured ~2x-slow case that motivated the fusion).
+        bias = jnp.asarray(
+            (rng.standard_normal(c) * 0.1).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        alpha = jnp.asarray(
+            (rng.standard_normal(c) * 0.3).astype(np.float32)
+        ).astype(jnp.bfloat16)
+
+        def xla_prelu(x, w, b, al):
+            z = xla_conv(x, w) + b
+            return jnp.maximum(z, 0.0) + al * jnp.minimum(z, 0.0)
+
+        measure(f"xla_conv_prelu_{c}ch_{hw}sp_fwd",
+                xla_prelu, (x, w, bias, alpha), flops)
+        measure(f"pallas_wc2d_prelu_{c}ch_{hw}sp_fwd",
+                pallas_conv2d.wc_conv2d_prelu_hwnc, (xh, w, bias, alpha),
+                flops)
+        measure(f"xla_conv_prelu_{c}ch_{hw}sp_fwd_bwd",
+                fwd_bwd(xla_prelu, 4), (x, w, bias, alpha), 3 * flops)
+        measure(f"pallas_wc2d_prelu_{c}ch_{hw}sp_fwd_bwd",
+                fwd_bwd(pallas_conv2d.wc_conv2d_prelu_hwnc, 4),
+                (xh, w, bias, alpha), 3 * flops)
+        measure(f"pallas_wc2d_res_{c}ch_{hw}sp_fwd_bwd",
+                fwd_bwd(pallas_conv2d.wc_conv2d_res_hwnc, 4),
+                (xh, w, bias, xh), 3 * flops)
 
         if sweep:
             h = hw
@@ -127,12 +154,25 @@ def main(sweep: bool = False, batch: int = 24):
         m = Module(params=p, compute_dtype=jnp.bfloat16)
         return shader_rendernet(m, x.astype(jnp.bfloat16), cfg)
 
-    gnet = jax.grad(lambda p, x: jnp.sum(net(p, x).astype(jnp.float32) ** 2))
+    # The output must consume EVERY gradient (params AND input): returning
+    # a single grad leaf lets XLA dead-code-eliminate most of the backward
+    # pass (a round-1 bug that made this number look 3x faster than the
+    # step it was meant to explain).
+    def gnet(p, x):
+        gp, gx = jax.grad(
+            lambda p, x: jnp.sum(net(p, x).astype(jnp.float32) ** 2),
+            argnums=(0, 1),
+        )(p, x)
+        tot = jnp.sum(gx.astype(jnp.float32))
+        for leaf in jax.tree.leaves(gp):
+            tot += jnp.sum(leaf.astype(jnp.float32))
+        return tot
+
     for forced in (True, False):
         layers.PALLAS_CONV2D = forced
         measure(
             f"network_fwd_bwd_patch64_wc2d_{'on' if forced else 'off'}",
-            lambda p, x: gnet(p, x)["encoder/e_conv11/weights"],
+            gnet,
             (params, patch),
             0.0 or 1,  # TF/s not meaningful here
             n=4,

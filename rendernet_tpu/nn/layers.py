@@ -533,7 +533,7 @@ def res_block_stack(
         and x.shape[-1] == out_channels
         and _pallas2d_enabled()
         and pallas_conv2d.wc_conv2d_supported(
-            x.shape, (3, 3, x.shape[-1], out_channels), (1, 1)
+            x.shape, (3, 3, x.shape[-1], out_channels), (1, 1), obufs=2
         )
     ):
         # HWNC-resident stack: one transpose pair brackets the whole stack
@@ -599,8 +599,10 @@ def _res_stack_hwnc(
     remat: bool,
 ) -> jnp.ndarray:
     """Apply-mode res-block stack resident in the Pallas conv2d kernel's
-    HWNC layout. Identical math and parameter naming to the res_block_2d
-    loop; supports both the unrolled and lax.scan stack forms."""
+    HWNC layout, with the block epilogues (bias, PReLU/ReLU, skip-add)
+    fused into the kernels — the whole block is two pallas_calls with no
+    separate elementwise passes. Identical math and parameter naming to the
+    res_block_2d loop; supports both the unrolled and lax.scan forms."""
     cdt = m.compute_dtype
     has_prelu = activation == "prelu"
     names = ["con1_3X3/weights", "con1_3X3/biases"]
@@ -614,15 +616,12 @@ def _res_stack_hwnc(
     def body(h, ws):
         if has_prelu:
             w1, b1, al, w2, b2 = ws
+            net = pallas_conv2d.wc_conv2d_prelu_hwnc(h, w1, b1, al)
         else:
             w1, b1, w2, b2 = ws
-        net = pallas_conv2d.wc_conv2d_hwnc(h, w1) + b1
-        if has_prelu:
-            net = jnp.maximum(net, 0.0) + al * jnp.minimum(net, 0.0)
-        else:
-            net = jnp.maximum(net, 0.0)
-        net = pallas_conv2d.wc_conv2d_hwnc(net, w2) + b2
-        return (net + h).astype(cdt), None
+            net = pallas_conv2d.wc_conv2d_relu_hwnc(h, w1, b1)
+        net = pallas_conv2d.wc_conv2d_res_hwnc(net, w2, b2, h)
+        return net.astype(cdt), None
 
     if remat:
         body = jax.checkpoint(body)

@@ -4,9 +4,12 @@ WHY: after the projection unit, the shader net's FLOPs are dominated by the
 3x3 stride-1 convs of the 2D res stacks at depth*32 channels — 1024 for the
 128 camera grid (RenderNet_Shader.py:71-99: 10 blocks @1024 + 5 @512). These
 are large, well-shaped GEMMs (M = B*H*W, K = 9C, N = C), but XLA:TPU's conv
-lowering still leaves MXU headroom, most of it in the backward pass (see
-benchmarks/conv2d_probe.py for the measured XLA numbers on the exact shapes
-and benchmarks/conv2d_kernel_bench.py for kernel-vs-XLA).
+lowering still leaves MXU headroom: the measured ~2x gap is on the convs XLA
+fuses a PReLU epilogue into (docs/performance.md). This kernel therefore
+carries the res-block epilogues ITSELF — bias, PReLU/ReLU, and the residual
+skip-add — applied to the fp32 accumulator in VMEM before the single output
+write, so the MXU loop stays the plain-conv one and no separate elementwise
+passes (or XLA epilogue-fused conv slowdowns) remain.
 
 DESIGN: the same halo-in-kernel implicit GEMM as ops/pallas_conv3d.py, with
 the GEMM M dimension built from (width, batch-tile) instead of (width,
@@ -23,17 +26,23 @@ packed-depth):
     views (block size 1 along H — plain block index maps express the halo)
     and emits bh output rows; per output row and tap (ky, kx) one
     ``[W*bb, C] @ [C, bn]`` MXU dot with fp32 accumulation.
+  * Epilogues: per-channel bias and PReLU alpha ride along as tiny [1, bn]
+    blocks; the residual skip input shares the output's block spec. The
+    PReLU variant additionally emits the pre-activation as a second output
+    — the VJP residual (needed for d/dz and d/dalpha) — costing one extra
+    output write instead of recomputation.
   * Backward: data grad = the same kernel with the spatially-flipped,
     io-swapped kernel (exact for SAME/stride-1/odd, co%128==ci%128==0 keeps
     it in-envelope); weight grad = a sibling kernel accumulating
     ``mid^T @ gy`` into a pinned [3,3,C,bn] fp32 block across the (B, H)
     grid. The padded input is the VJP residual (no re-pad in backward).
+    The epilogue backward (PReLU mask, bias reduce) is one fused XLA
+    elementwise pass feeding both dgrad and wgrad.
   * The NHWC wrapper transposes in/out; ``res_block_stack`` amortizes the
-    transposes across a whole stack by staying in HWNC between blocks
-    (bias/PReLU/residual are elementwise — layout-agnostic).
+    transposes across a whole stack by staying in HWNC between blocks.
 
-Reference semantics: SAME, stride 1, 3x3 — tools/layer_util.py:147-185 as
-used by res_block_2d (:91-121).
+Reference semantics: SAME, stride 1, 3x3 + bias + PReLU/ReLU + skip —
+tools/layer_util.py:91-121 (res_block_2d) and :147-185 (conv2d).
 """
 from __future__ import annotations
 
@@ -48,6 +57,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "wc_conv2d",
     "wc_conv2d_hwnc",
+    "wc_conv2d_prelu_hwnc",
+    "wc_conv2d_relu_hwnc",
+    "wc_conv2d_res_hwnc",
     "wc_conv2d_supported",
     "nhwc_to_hwnc",
     "hwnc_to_nhwc",
@@ -77,10 +89,13 @@ def _divisors_desc(n: int):
 TILE_OVERRIDE = None
 
 
-def _vmem_bytes(bh, bb, bn, wd, cch, xbytes):
+def _vmem_bytes(bh, bb, bn, wd, cch, xbytes, obufs=1):
+    """Working set; ``obufs`` counts output-sized streams (the plain conv
+    has 1; the PReLU variant's pre-activation output and the residual
+    variant's skip input each add one)."""
     xrows = 2 * (bh + 2) * (wd + 2) * bb * cch * xbytes  # double-buffered
     wtile = 9 * cch * bn * xbytes  # held once (constant index map over B, H)
-    out = 2 * bh * wd * bb * bn * xbytes
+    out = obufs * 2 * bh * wd * bb * bn * xbytes
     acc = wd * bb * bn * 4
     return xrows + wtile + out + acc
 
@@ -133,7 +148,7 @@ def _tiles_wgrad(h, wd, b, cch, co, xbytes):
     return None if best is None else best[1]
 
 
-def _tiles(h, wd, b, cch, co, xbytes):
+def _tiles(h, wd, b, cch, co, xbytes, obufs=1):
     """(bn, bh, bb) fitting the VMEM budget, or None.
 
     Picks the candidate minimizing input HBM traffic — refetch factor
@@ -155,7 +170,7 @@ def _tiles(h, wd, b, cch, co, xbytes):
             for bh in (8, 4, 2, 1):
                 if h % bh:
                     continue
-                if _vmem_bytes(bh, bb, bn, wd, cch, xbytes) > _VMEM_BUDGET:
+                if _vmem_bytes(bh, bb, bn, wd, cch, xbytes, obufs) > _VMEM_BUDGET:
                     continue
                 cost = (bh + 2) / bh * (co // bn)
                 key = (cost, -m, -bh)
@@ -165,8 +180,12 @@ def _tiles(h, wd, b, cch, co, xbytes):
     return None if best is None else best[1]
 
 
-def wc_conv2d_supported(x_shape, w_shape, stride) -> bool:
-    """True when (NHWC x, HWIO w, stride) fits this kernel's envelope."""
+def wc_conv2d_supported(x_shape, w_shape, stride, obufs=1) -> bool:
+    """True when (NHWC x, HWIO w, stride) fits this kernel's envelope.
+
+    ``obufs=2`` additionally requires the fused-epilogue variants (PReLU
+    pre-activation output / residual skip input) to fit VMEM — gate a whole
+    fused res-block stack with that."""
     if len(x_shape) != 4 or len(w_shape) != 4:
         return False
     kh, kw, ci, co = w_shape
@@ -176,7 +195,7 @@ def wc_conv2d_supported(x_shape, w_shape, stride) -> bool:
     if c != ci or ci % 128 or co % 128 or ci < 256:
         return False
     return (
-        _tiles(h, wd, b, ci, co, 2) is not None
+        _tiles(h, wd, b, ci, co, 2, obufs) is not None
         and _tiles_wgrad(h, wd, b, ci, co, 2) is not None
     )
 
@@ -201,8 +220,34 @@ def _pad_hw(xh: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
-def _fwd_kernel(w_ref, *refs, wd, bb, cch, bn, bh):
-    x_rows, o_ref = refs[:-1], refs[-1]
+def _fwd_kernel(
+    w_ref, *refs, wd, bb, cch, bn, bh, has_bias, act, has_res, emit_pre
+):
+    """Implicit-GEMM conv with an optional fused epilogue.
+
+    ``refs`` order: [bias?, alpha?, res?] + x_rows(bh+2) + [y, pre?].
+    The epilogue runs on the fp32 accumulator — bias add, optional
+    pre-activation emit, PReLU/ReLU, optional residual add — then ONE
+    rounding to the output dtype."""
+    i = 0
+    b_ref = al_ref = r_ref = None
+    if has_bias:
+        b_ref = refs[i]
+        i += 1
+    if act == "prelu":
+        al_ref = refs[i]
+        i += 1
+    if has_res:
+        r_ref = refs[i]
+        i += 1
+    x_rows = refs[i : i + bh + 2]
+    outs = refs[i + bh + 2 :]
+    y_ref = outs[0]
+    z_ref = outs[1] if emit_pre else None
+
+    bias = b_ref[0].astype(jnp.float32) if has_bias else None  # [bn]
+    alpha = al_ref[0].astype(jnp.float32) if al_ref is not None else None
+
     m = wd * bb
     for hh in range(bh):
         acc = jnp.zeros((m, bn), jnp.float32)
@@ -213,7 +258,18 @@ def _fwd_kernel(w_ref, *refs, wd, bb, cch, bn, bh):
                 acc += jnp.dot(
                     mid, w_ref[ky, kx], preferred_element_type=jnp.float32
                 )
-        o_ref[hh] = acc.reshape(wd, bb, bn).astype(o_ref.dtype)
+        if bias is not None:
+            acc = acc + bias
+        if emit_pre:
+            z_ref[hh] = acc.reshape(wd, bb, bn).astype(z_ref.dtype)
+        if act == "prelu":
+            acc = jnp.maximum(acc, 0.0) + alpha * jnp.minimum(acc, 0.0)
+        elif act == "relu":
+            acc = jnp.maximum(acc, 0.0)
+        acc = acc.reshape(wd, bb, bn)
+        if has_res:
+            acc = acc + r_ref[hh].astype(jnp.float32)
+        y_ref[hh] = acc.astype(y_ref.dtype)
 
 
 def _wgrad_kernel(g_ref, *refs, wd, bb, cch, bn, bh):
@@ -248,51 +304,137 @@ def _xspec(i, bh, wp2, bb, cch):
     )
 
 
-def _conv_call(xp, w9, bn, bh, bb, out_dtype):
+def _chanspec(bn):
+    """Per-output-channel epilogue vector (bias / alpha), held as [1, co]."""
+    return pl.BlockSpec(
+        (1, bn), lambda nt, bi, hi: (0, nt), memory_space=pltpu.VMEM
+    )
+
+
+def _outspec(bh, wd, bb, bn):
+    return pl.BlockSpec(
+        (bh, wd, bb, bn), lambda nt, bi, hi: (hi, 0, bi, nt),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _conv_call(
+    xp,
+    w9,
+    bn,
+    bh,
+    bb,
+    out_dtype,
+    bias=None,
+    alpha=None,
+    res=None,
+    act="none",
+    emit_pre=False,
+):
     hp2, wp2, b, cch = xp.shape
     h, wd = hp2 - 2, wp2 - 2
     co = w9.shape[-1]
     kern = functools.partial(
-        _fwd_kernel, wd=wd, bb=bb, cch=cch, bn=bn, bh=bh
+        _fwd_kernel,
+        wd=wd, bb=bb, cch=cch, bn=bn, bh=bh,
+        has_bias=bias is not None, act=act, has_res=res is not None,
+        emit_pre=emit_pre,
     )
+    in_specs = [
+        pl.BlockSpec(
+            (3, 3, cch, bn), lambda nt, bi, hi: (0, 0, 0, nt),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    args = [w9]
+    if bias is not None:
+        in_specs.append(_chanspec(bn))
+        args.append(bias.reshape(1, co))
+    if act == "prelu":
+        in_specs.append(_chanspec(bn))
+        args.append(alpha.reshape(1, co))
+    if res is not None:
+        in_specs.append(_outspec(bh, wd, bb, bn))
+        args.append(res)
+    in_specs += [_xspec(i, bh, wp2, bb, cch) for i in range(bh + 2)]
+    args += [xp] * (bh + 2)
+    out_shape = jax.ShapeDtypeStruct((h, wd, b, co), out_dtype)
+    out_specs = _outspec(bh, wd, bb, bn)
+    if emit_pre:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((h, wd, b, co), out_dtype))
+        out_specs = (out_specs, _outspec(bh, wd, bb, bn))
     return pl.pallas_call(
         kern,
         grid=(co // bn, b // bb, h // bh),
-        in_specs=[
-            pl.BlockSpec(
-                (3, 3, cch, bn), lambda nt, bi, hi: (0, 0, 0, nt),
-                memory_space=pltpu.VMEM,
-            )
-        ]
-        + [_xspec(i, bh, wp2, bb, cch) for i in range(bh + 2)],
-        out_specs=pl.BlockSpec(
-            (bh, wd, bb, bn), lambda nt, bi, hi: (hi, 0, bi, nt),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((h, wd, b, co), out_dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=not _on_tpu(),
-    )(w9, *([xp] * (bh + 2)))
+    )(*args)
 
 
-def _wc_conv2d_padded(xp, w, out_dtype):
+def _wc_conv2d_padded(xp, w, out_dtype, obufs=1, **epilogue):
     """Conv on an already-padded HWNC input [H+2, W+2, B, C]."""
     hp2, wp2, b, cch = xp.shape
     co = w.shape[-1]
-    tiles = _tiles(hp2 - 2, wp2 - 2, b, cch, co, _dtype_bytes(xp.dtype))
+    tiles = _tiles(hp2 - 2, wp2 - 2, b, cch, co, _dtype_bytes(xp.dtype), obufs)
     if tiles is None:
         raise ValueError(
             f"wc_conv2d: no tiling fits VMEM for input {xp.shape} -> {co} "
-            f"channels; gate calls with wc_conv2d_supported"
+            f"channels (obufs={obufs}); gate calls with wc_conv2d_supported"
         )
     bn, bh, bb = tiles
-    return _conv_call(xp, w, bn, bh, bb, out_dtype)
+    return _conv_call(xp, w, bn, bh, bb, out_dtype, **epilogue)
 
 
 def _wc_conv2d_expr(xh, w):
     return _wc_conv2d_padded(_pad_hw(xh), w, xh.dtype)
 
 
+# ---------------------------------------------------------------------------
+# shared backward pieces
+# ---------------------------------------------------------------------------
+def _dgrad(gz, w, out_dtype):
+    """Data grad: same conv of the cotangent with the flipped, io-swapped
+    kernel (exact adjoint for SAME/stride-1/odd kernels; co and ci are both
+    128-multiples so the adjoint stays in-envelope)."""
+    wf = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+    return _wc_conv2d_padded(_pad_hw(gz), wf, out_dtype)
+
+
+def _wgrad(xp, gy, co):
+    """Weight grad: pinned [3,3,C,bn] fp32 accumulators over the (B, H)
+    grid, with its own tiling (the pinned block dominates its VMEM)."""
+    hp2, wp2, b, cch = xp.shape
+    h, wd = hp2 - 2, wp2 - 2
+    bn, bh, bb = _tiles_wgrad(h, wd, b, cch, co, _dtype_bytes(xp.dtype))
+    kern = functools.partial(
+        _wgrad_kernel, wd=wd, bb=bb, cch=cch, bn=bn, bh=bh
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(co // bn, b // bb, h // bh),
+        in_specs=[_outspec(bh, wd, bb, bn)]
+        + [_xspec(i, bh, wp2, bb, cch) for i in range(bh + 2)],
+        out_specs=pl.BlockSpec(
+            (3, 3, cch, bn), lambda nt, bi, hi: (0, 0, 0, nt),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, 3, cch, co), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=not _on_tpu(),
+    )(gy, *([xp] * (bh + 2)))
+
+
+def _sum_hwn(x):
+    """Reduce [H, W, B, co] -> [co] in fp32 (bias-style grads)."""
+    return jnp.sum(x.astype(jnp.float32), axis=(0, 1, 2))
+
+
+# ---------------------------------------------------------------------------
+# public ops (custom VJPs)
+# ---------------------------------------------------------------------------
 @jax.custom_vjp
 def wc_conv2d_hwnc(xh: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """SAME stride-1 3x3 conv in HWNC layout:
@@ -311,45 +453,106 @@ def _wc_fwd(xh, w):
 
 def _wc_bwd(res, gy):
     xp, w = res
-    hp2, wp2, b, cch = xp.shape
-    h, wd = hp2 - 2, wp2 - 2
-    co = w.shape[-1]
-
-    # Data grad: same conv of the cotangent with the flipped, io-swapped
-    # kernel (exact adjoint for SAME/stride-1/odd kernels; co and ci are
-    # both 128-multiples so the adjoint stays in-envelope).
-    wf = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
-    gx = _wc_conv2d_padded(_pad_hw(gy), wf, xp.dtype)
-
-    # Weight grad: pinned [3,3,C,bn] fp32 accumulators over the (B, H) grid,
-    # with its own tiling (the pinned block dominates its VMEM).
-    tiles = _tiles_wgrad(h, wd, b, cch, co, _dtype_bytes(xp.dtype))
-    bn, bh, bb = tiles
-    kern = functools.partial(
-        _wgrad_kernel, wd=wd, bb=bb, cch=cch, bn=bn, bh=bh
-    )
-    gw = pl.pallas_call(
-        kern,
-        grid=(co // bn, b // bb, h // bh),
-        in_specs=[
-            pl.BlockSpec(
-                (bh, wd, bb, bn), lambda nt, bi, hi: (hi, 0, bi, nt),
-                memory_space=pltpu.VMEM,
-            )
-        ]
-        + [_xspec(i, bh, wp2, bb, cch) for i in range(bh + 2)],
-        out_specs=pl.BlockSpec(
-            (3, 3, cch, bn), lambda nt, bi, hi: (0, 0, 0, nt),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((3, 3, cch, co), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=not _on_tpu(),
-    )(gy, *([xp] * (bh + 2)))
+    gx = _dgrad(gy, w, xp.dtype)
+    gw = _wgrad(xp, gy, w.shape[-1])
     return gx, gw.astype(w.dtype)
 
 
 wc_conv2d_hwnc.defvjp(_wc_fwd, _wc_bwd)
+
+
+@jax.custom_vjp
+def wc_conv2d_prelu_hwnc(xh, w, b, alpha):
+    """Fused ``prelu(conv(x, w) + b, alpha)`` in HWNC layout.
+
+    Epilogue semantics: tools/layer_util.py:27-45 (PReLU, per-channel
+    alpha) applied to the conv+bias pre-activation, all on the fp32
+    accumulator inside the kernel."""
+    return _wc_conv2d_padded(
+        _pad_hw(xh), w, xh.dtype, obufs=1, bias=b, alpha=alpha, act="prelu"
+    )
+
+
+def _wc_prelu_fwd(xh, w, b, alpha):
+    xp = _pad_hw(xh)
+    # emit_pre: the pre-activation z is the VJP residual (PReLU backward
+    # needs its sign and its negative part for d/dalpha).
+    y, z = _wc_conv2d_padded(
+        xp, w, xh.dtype, obufs=2, bias=b, alpha=alpha, act="prelu",
+        emit_pre=True,
+    )
+    return y, (xp, w, alpha, z)
+
+
+def _wc_prelu_bwd(res, gy):
+    xp, w, alpha, z = res
+    # One fused XLA elementwise pass: PReLU mask + d/dalpha + bias reduce.
+    gz = jnp.where(z > 0, gy, alpha.astype(gy.dtype) * gy)
+    galpha = jnp.sum(
+        gy.astype(jnp.float32) * jnp.minimum(z.astype(jnp.float32), 0.0),
+        axis=(0, 1, 2),
+    )
+    gb = _sum_hwn(gz)
+    gx = _dgrad(gz, w, xp.dtype)
+    gw = _wgrad(xp, gz, w.shape[-1])
+    return gx, gw.astype(w.dtype), gb.astype(gy.dtype), galpha.astype(gy.dtype)
+
+
+wc_conv2d_prelu_hwnc.defvjp(_wc_prelu_fwd, _wc_prelu_bwd)
+
+
+@jax.custom_vjp
+def wc_conv2d_relu_hwnc(xh, w, b):
+    """Fused ``relu(conv(x, w) + b)`` in HWNC layout (the pretrained-path
+    res-block activation, tools/layer_util.py:91-121)."""
+    return _wc_conv2d_padded(
+        _pad_hw(xh), w, xh.dtype, obufs=1, bias=b, act="relu"
+    )
+
+
+def _wc_relu_fwd(xh, w, b):
+    xp = _pad_hw(xh)
+    y = _wc_conv2d_padded(xp, w, xh.dtype, obufs=1, bias=b, act="relu")
+    # y > 0 iff z > 0 (ReLU), so the primal output doubles as the mask.
+    return y, (xp, w, y)
+
+
+def _wc_relu_bwd(res, gy):
+    xp, w, y = res
+    gz = jnp.where(y > 0, gy, jnp.zeros_like(gy))
+    gb = _sum_hwn(gz)
+    gx = _dgrad(gz, w, xp.dtype)
+    gw = _wgrad(xp, gz, w.shape[-1])
+    return gx, gw.astype(w.dtype), gb.astype(gy.dtype)
+
+
+wc_conv2d_relu_hwnc.defvjp(_wc_relu_fwd, _wc_relu_bwd)
+
+
+@jax.custom_vjp
+def wc_conv2d_res_hwnc(xh, w, b, res):
+    """Fused ``conv(x, w) + b + res`` in HWNC layout — the second conv of a
+    res block with the skip-add folded into the epilogue
+    (tools/layer_util.py:91-121: ``conv2 + input``)."""
+    return _wc_conv2d_padded(
+        _pad_hw(xh), w, xh.dtype, obufs=2, bias=b, res=res
+    )
+
+
+def _wc_res_fwd(xh, w, b, res):
+    xp = _pad_hw(xh)
+    y = _wc_conv2d_padded(xp, w, xh.dtype, obufs=2, bias=b, res=res)
+    return y, (xp, w)
+
+
+def _wc_res_bwd(resids, gy):
+    xp, w = resids
+    gx = _dgrad(gy, w, xp.dtype)
+    gw = _wgrad(xp, gy, w.shape[-1])
+    return gx, gw.astype(w.dtype), _sum_hwn(gy).astype(gy.dtype), gy
+
+
+wc_conv2d_res_hwnc.defvjp(_wc_res_fwd, _wc_res_bwd)
 
 
 def wc_conv2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

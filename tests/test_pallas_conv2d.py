@@ -143,6 +143,76 @@ def test_res_stack_hwnc_grads(rng):
         )
 
 
+def _ref_prelu(x, w, b, al):
+    z = plain(x, w) + b
+    return jnp.maximum(z, 0.0) + al * jnp.minimum(z, 0.0)
+
+
+def _ref_relu(x, w, b):
+    return jnp.maximum(plain(x, w) + b, 0.0)
+
+
+def _ref_res(x, w, b, r):
+    return plain(x, w) + b + r
+
+
+def _hwnc(fn):
+    """Adapt an HWNC-layout kernel op to NHWC arguments (x and, for the
+    residual variant, the 4th arg)."""
+    from rendernet_tpu.ops import pallas_conv2d as pc
+
+    def f(x, *rest):
+        rest = list(rest)
+        if len(rest) == 3 and rest[2].ndim == 4:  # residual input
+            rest[2] = pc.nhwc_to_hwnc(rest[2])
+        return pc.hwnc_to_nhwc(fn(pc.nhwc_to_hwnc(x), *rest))
+
+    return f
+
+
+@pytest.mark.parametrize("variant", ["prelu", "relu", "res"])
+def test_wc_conv2d_fused_epilogues_match_reference(rng, variant):
+    """The fused-epilogue kernels (bias + PReLU/ReLU / residual skip-add in
+    the accumulator) match the unfused XLA composition, values and all
+    gradients (incl. bias/alpha/residual)."""
+    from rendernet_tpu.ops import pallas_conv2d as pc
+
+    ci, co = 256, 256
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, ci)).astype(np.float32))
+    w = jnp.asarray(
+        (rng.standard_normal((3, 3, ci, co)) * 0.05).astype(np.float32)
+    )
+    b = jnp.asarray(rng.standard_normal(co).astype(np.float32) * 0.1)
+    gy = jnp.asarray(rng.standard_normal((2, 4, 8, co)).astype(np.float32))
+    if variant == "prelu":
+        al = jnp.asarray(rng.standard_normal(co).astype(np.float32) * 0.3)
+        args = (x, w, b, al)
+        kfn, rfn = _hwnc(pc.wc_conv2d_prelu_hwnc), _ref_prelu
+    elif variant == "relu":
+        args = (x, w, b)
+        kfn, rfn = _hwnc(pc.wc_conv2d_relu_hwnc), _ref_relu
+    else:
+        r = jnp.asarray(rng.standard_normal((2, 4, 8, co)).astype(np.float32))
+        args = (x, w, b, r)
+        kfn, rfn = _hwnc(pc.wc_conv2d_res_hwnc), _ref_res
+
+    np.testing.assert_allclose(
+        np.asarray(kfn(*args)), np.asarray(rfn(*args)), atol=2e-4
+    )
+
+    argnums = tuple(range(len(args)))
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a) * gy)
+
+    gk = jax.grad(loss(kfn), argnums)(*args)
+    gr = jax.grad(loss(rfn), argnums)(*args)
+    for i, (a, b_) in enumerate(zip(gk, gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-3, err_msg=f"arg {i}"
+        )
+
+
 def test_wc_conv2d_production_tiling_class(rng):
     """(2, 64, 8, 256) selects (bn=256, bh=8) — the same tile class the
     training shapes pick on TPU (bh=8 row blocks, 256-wide weight tiles) —
