@@ -75,6 +75,12 @@ def measure(n_devices: int, per_device_batch: int = 4, img_res: int = 256,
 def main() -> None:
     import jax
 
+    # The driver environment's sitecustomize re-registers the TPU plugin and
+    # rewrites jax_platforms at interpreter start; honor an explicit CPU
+    # request (the virtual-device mode documented in the module docstring).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     n_avail = len(jax.devices())
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
     base = None

@@ -89,8 +89,8 @@ def main():
               f"pose {np.asarray(latents.pose[i])}")
 
     target_batch = jnp.tile(target, (cfg.batch_size, 1, 1, 1))
-    latents, history = reconstruct(model, target_batch, cfg, callback=log,
-                                   run=run)
+    latents, history, _ = reconstruct(model, target_batch, cfg, callback=log,
+                                      run=run)
     best = int(np.argmin(np.asarray(history[-1])))
     recovered = recon_forward(model, latents, cfg)[0]
     save_image(to_uint8(np.asarray(recovered[best]), 255.0),

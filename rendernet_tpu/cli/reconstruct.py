@@ -19,6 +19,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("config", type=str, help="reconstruction JSON config")
     p.add_argument("--random-weights", action="store_true",
                    help="use seeded random nets (pipeline smoke mode)")
+    p.add_argument("--dump-every", type=int, default=100,
+                   help="intermediate dump/log interval in inner steps "
+                        "(reference dumps every 100: "
+                        "Reconstruct_RenderNet_Face.py:497-519); 0 disables")
     return p
 
 
@@ -111,6 +115,14 @@ def main(argv=None):
         np.tile(target_compos, (rcfg.batch_size, 1, 1, 1)), jnp.float32
     )
 
+    metrics_path = os.path.join(cfg.sample_save, "metrics.jsonl")
+
+    def log_metrics(**kv):
+        import json
+
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps(kv) + "\n")
+
     def dump(epoch, latents, losses):
         best = int(losses.argmin())
         compos, albedo, normal, shape = recon_forward(model, latents, rcfg)
@@ -125,8 +137,36 @@ def main(argv=None):
         )
         print(f"epoch {epoch}: best hypothesis {best} loss {losses[best]:.5f}")
 
-    latents, history = reconstruct(model, target_batch, rcfg, callback=dump)
-    np.savez(os.path.join(cfg.sample_save, "loss_history.npz"), history)
+    def inner_dump(epoch, inner_step, latents, losses_chunk):
+        """Per-chunk observability (Reconstruct_RenderNet_Face.py:497-519):
+        per-hypothesis losses into metrics.jsonl plus an intermediate
+        best-hypothesis image/binvox dump at each chunk boundary."""
+        final = losses_chunk[-1]
+        best = int(final.argmin())
+        log_metrics(epoch=epoch, inner_step=inner_step,
+                    losses=[float(x) for x in final], best=best)
+        if inner_step < rcfg.inner_steps:  # end-of-epoch handled by dump()
+            compos, _, _, shape = recon_forward(model, latents, rcfg)
+            tag = f"epoch{epoch}_step{inner_step}"
+            save_image(to_uint8(np.asarray(compos[best]), 255.0),
+                       os.path.join(cfg.sample_save, tag + ".png"))
+            binvox_rw.save_binvox(
+                np.asarray(shape[best]).reshape(64, 64, 64) > cfg.threshold,
+                os.path.join(cfg.sample_save, tag + ".binvox"),
+            )
+
+    dump_every = args.dump_every if args.dump_every > 0 else None
+    if dump_every is not None and rcfg.inner_steps % dump_every:
+        dump_every = None  # fall back to one scan per epoch
+    latents, history, curves = reconstruct(
+        model, target_batch, rcfg, callback=dump,
+        dump_every=dump_every,
+        inner_callback=inner_dump if dump_every is not None else None,
+    )
+    # Full [epochs, inner_steps, B] per-hypothesis loss curves — the
+    # reference's per-sample summary scalars (:415-416), in one artifact.
+    np.savez(os.path.join(cfg.sample_save, "loss_history.npz"),
+             final=history, curves=curves)
     print("Reconstruction done")
 
 

@@ -197,9 +197,11 @@ def build_pass_plan(
     scale-pass offsets are solved from that requirement); tests assert it.
 
     ``max_scale``: static bound on ``view_params[:, 2]``; narrows the
-    adjoint band of the scale passes (see _taps_for_scale). Poses with a
-    larger scale silently produce WRONG voxel gradients — callers must
-    validate their data (train.loop does when the bound is configured).
+    adjoint band of the scale passes (see _taps_for_scale). Out-of-band
+    poses fail LOUDLY here: with concrete values a ValueError is raised
+    immediately; under a jit trace the offending batch rows are poisoned
+    with NaN (propagating to the pass outputs, where the training loop's
+    non-finite guard halts) — never a silently-wrong voxel gradient.
     """
     view_params = jnp.asarray(view_params, jnp.float32)
     bsz = view_params.shape[0]
@@ -209,6 +211,20 @@ def build_pass_plan(
         scale = view_params[:, 2]
     else:
         scale = jnp.ones((bsz,), jnp.float32)
+
+    if max_scale is not None:
+        limit = float(max_scale) * (1.0 + 1e-6)
+        if not isinstance(scale, jax.core.Tracer):
+            top = float(jnp.max(scale))
+            if top > limit:
+                raise ValueError(
+                    f"pose scale {top:.4f} exceeds max_scale={max_scale}: "
+                    "the static adjoint band would drop gradient taps — "
+                    "raise max_scale (or pass None for the full band)"
+                )
+        scale = jnp.where(
+            scale <= jnp.float32(limit), scale, jnp.float32(jnp.nan)
+        )
 
     center = new_size / 2.0
     pad = (new_size - size) // 2

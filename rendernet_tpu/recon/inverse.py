@@ -269,24 +269,50 @@ def reconstruct(
     seed: int = 0,
     callback=None,
     run=None,
-) -> Tuple[Latents, np.ndarray]:
+    dump_every: Optional[int] = None,
+    inner_callback=None,
+) -> Tuple[Latents, np.ndarray, np.ndarray]:
     """Full coarse-to-fine reconstruction driver.
 
-    Returns the final best latents (tiled batch) and the [epochs, B] matrix
-    of end-of-epoch per-hypothesis losses. ``callback(epoch, latents,
-    losses)`` fires after each epoch for logging/dumps. ``run`` reuses an
-    existing ``make_recon_step(model, cfg, scan_steps=cfg.inner_steps)``
-    runner (compiling the 3-network pipeline dominates cold-start; pass it
-    when reconstructing several targets with one model/config).
+    Returns ``(latents, final_losses [epochs, B], loss_curves
+    [epochs, inner_steps, B])`` — the full per-hypothesis loss history the
+    scan already computes (reference per-step observability:
+    Reconstruct_RenderNet_Face.py:415-416). ``callback(epoch, latents,
+    losses)`` fires after each epoch for logging/dumps.
+
+    ``dump_every=K`` runs the inner loop as chunked scans of K steps (K
+    must divide ``inner_steps``) and fires ``inner_callback(epoch,
+    inner_step, latents, losses_chunk [K, B])`` after each chunk — the
+    TPU-shaped analog of the reference's every-100-step intermediate dumps
+    (:497-519): the scan stays on-device; only the chunk boundary syncs.
+
+    ``run`` reuses an existing ``make_recon_step(model, cfg,
+    scan_steps=...)`` runner (compiling the 3-network pipeline dominates
+    cold-start; pass it when reconstructing several targets with one
+    model/config; its scan_steps must equal ``dump_every`` when set, else
+    ``cfg.inner_steps``).
     """
+    chunk = dump_every or cfg.inner_steps
+    if cfg.inner_steps % chunk:
+        raise ValueError(
+            f"dump_every={dump_every} must divide inner_steps={cfg.inner_steps}"
+        )
     if run is None:
-        run = make_recon_step(model, cfg, scan_steps=cfg.inner_steps)
+        run = make_recon_step(model, cfg, scan_steps=chunk)
     latents = initial_latents(cfg, seed)
     phi_range, theta_range = cfg.phi_range0, cfg.theta_range0
     history = []
+    curves = []
     for epoch in range(cfg.max_epochs):
-        latents, losses = run(latents, target)
-        final = np.asarray(losses[-1])
+        chunks = []
+        for ci in range(cfg.inner_steps // chunk):
+            latents, losses = run(latents, target)
+            chunks.append(np.asarray(losses))
+            if inner_callback is not None:
+                inner_callback(epoch, (ci + 1) * chunk, latents, chunks[-1])
+        curve = np.concatenate(chunks, axis=0)  # [inner_steps, B]
+        curves.append(curve)
+        final = curve[-1]
         history.append(final)
         best_idx = int(final.argmin())
         if callback is not None:
@@ -297,4 +323,4 @@ def reconstruct(
             latents = subdivided_latents(
                 latents, best_idx, phi_range, theta_range, cfg
             )
-    return latents, np.stack(history)
+    return latents, np.stack(history), np.stack(curves)

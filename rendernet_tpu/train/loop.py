@@ -163,16 +163,33 @@ def _maybe_resume(ckpt_dir: str, state, run):
     return state
 
 
-def _auto_mesh(cfg: TrainConfig):
+def _auto_mesh(cfg: TrainConfig, run=None):
     """Data mesh over the largest device count that divides the batch.
 
     Multi-process runs get the DCN-aware hybrid layout (all devices; the
-    global batch must divide evenly there)."""
+    global batch must divide evenly there). The decision — and especially
+    any devices left idle because the batch doesn't divide — is logged
+    visibly instead of silently shrinking the mesh."""
     if jax.process_count() > 1:
-        return make_hybrid_mesh()
-    n_data = cfg.data_parallel or len(jax.devices())
+        mesh = make_hybrid_mesh()
+        if run is not None:
+            run.log(event="mesh", layout="hybrid_dcn",
+                    devices=len(jax.devices()),
+                    processes=jax.process_count())
+        return mesh
+    n_avail = cfg.data_parallel or len(jax.devices())
+    n_data = n_avail
     while cfg.batch_size % n_data:
         n_data -= 1
+    if n_data < n_avail:
+        msg = (f"[mesh] batch_size={cfg.batch_size} is not divisible by "
+               f"{n_avail} devices; using {n_data} and leaving "
+               f"{n_avail - n_data} idle — pick a batch size that divides "
+               f"the device count to use the whole chip set")
+        print(msg, flush=True)
+    if run is not None:
+        run.log(event="mesh", layout="data", data_devices=n_data,
+                devices_available=n_avail, idle_devices=n_avail - n_data)
     return make_mesh(n_data)
 
 
@@ -214,7 +231,7 @@ def train_shader(
     state, tx = create_shader_state(rng, model_cfg, cfg)
     ckpt_dir = os.path.join(run.root, cfg.trained_model_name)
     state = _maybe_resume(ckpt_dir, state, run)
-    mesh = _auto_mesh(cfg) if use_mesh else None
+    mesh = _auto_mesh(cfg, run) if use_mesh else None
     if mesh is not None:
         state = replicate(mesh, state)
     steps = {}  # patch_size -> jitted step
@@ -305,23 +322,38 @@ def train_shader(
         guard.flush(state)
         save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
         if cfg.image_path_valid and os.path.exists(cfg.image_path_valid):
+            # Multi-host-safe validation: each process strides a disjoint
+            # subset of the validation tar (no duplicated reads/evals), and
+            # single-process runs shard each eval batch over the data mesh
+            # so every local device contributes. Per-process sums aggregate
+            # once per epoch (one collective, no per-batch lockstep).
             l1_sum, l1_n = 0.0, 0
             valid = data_loader(
                 cfg.image_path_valid,
                 cfg.model_path,
-                batch_size=cfg.batch_size,
+                batch_size=local_bs,
                 validation_mode=True,
                 flatten=cfg.is_greyscale,
                 img_res=cfg.img_res,
                 voxel_res=cfg.voxel_res,
+                shard=(pidx, pcount) if pcount > 1 else None,
             )
             for images, voxels, poses, names in valid:
-                images = images / 255.0
-                pred = eval_step(
-                    state.params, jnp.asarray(voxels), jnp.asarray(poses)
-                )
-                l1_sum += float(jnp.mean(jnp.abs(jnp.asarray(images) - pred)))
+                vb = (jnp.asarray(voxels), jnp.asarray(poses),
+                      jnp.asarray((images / 255.0).astype(np.float32)))
+                if mesh is not None and pcount == 1:
+                    vb = shard_batch(mesh, vb)
+                pred = eval_step(state.params, vb[0], vb[1])
+                l1_sum += float(jnp.mean(jnp.abs(vb[2] - pred)))
                 l1_n += 1
+            if pcount > 1:
+                from jax.experimental import multihost_utils
+
+                totals = multihost_utils.process_allgather(
+                    np.asarray([l1_sum, float(l1_n)], np.float32)
+                )
+                l1_sum = float(np.sum(totals[..., 0]))
+                l1_n = int(np.sum(totals[..., 1]))
             if l1_n:
                 run.log(epoch=epoch, valid_l1=l1_sum / l1_n)
     save_params_npz(os.path.join(run.root, "params_final.npz"),
@@ -345,7 +377,7 @@ def train_texture(
     state, tx = create_texture_state(rng, model_cfg, cfg)
     ckpt_dir = os.path.join(run.root, cfg.trained_model_name)
     state = _maybe_resume(ckpt_dir, state, run)
-    mesh = _auto_mesh(cfg) if use_mesh else None
+    mesh = _auto_mesh(cfg, run) if use_mesh else None
     if mesh is not None:
         state = replicate(mesh, state)
     steps = {}

@@ -248,6 +248,35 @@ def test_reduced_taps_gradients_match_default():
     np.testing.assert_allclose(np.asarray(gp_fast), np.asarray(gp_ref), rtol=1e-4)
 
 
+def test_out_of_band_scale_fails_loudly():
+    """A pose scale above max_scale must never produce silently-wrong
+    gradients: eager (concrete) calls raise; jitted calls poison the
+    offending rows with NaN so downstream guards trip."""
+    from rendernet_tpu.ops.pallas_resample import build_pass_plan
+
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.random((2, S, S, S, 1), dtype=np.float32))
+    poses = jnp.asarray([[0.7, 0.3, 1.0], [2.5, -0.8, 1.4]], jnp.float32)
+
+    with pytest.raises(ValueError, match="exceeds max_scale"):
+        build_pass_plan(poses, size=S, new_size=N, max_scale=1.2)
+    with pytest.raises(ValueError, match="exceeds max_scale"):
+        rotate_resample_multipass(v, poses, new_size=N, max_scale=1.2)
+
+    # Under jit the scale is a tracer: NaN poison on the offending row only.
+    out = jax.jit(
+        lambda v, p: rotate_resample_multipass(v, p, new_size=N, max_scale=1.2)
+    )(v, poses)
+    assert np.isfinite(np.asarray(out[0])).all()
+    assert np.isnan(np.asarray(out[1])).any()
+
+    # At-the-bound scale stays clean (tolerance guards the == case).
+    ok = jax.jit(
+        lambda v, p: rotate_resample_multipass(v, p, new_size=N, max_scale=1.4)
+    )(v, poses)
+    assert np.isfinite(np.asarray(ok)).all()
+
+
 def test_taps_for_scale_bounds():
     from rendernet_tpu.ops.pallas_resample import _taps_for_scale
 

@@ -123,10 +123,12 @@ def test_recon_scan_matches_stepwise(model, single_step, scan_run):
 def test_reconstruct_driver_runs_and_subdivides(model, scan_run):
     target = jnp.full((5, 128, 128, 3), 0.4, jnp.float32)
     seen = []
-    latents, history = reconstruct(
+    latents, history, curves = reconstruct(
         model, target, CFG, callback=lambda e, l, f: seen.append(e), run=scan_run
     )
     assert history.shape == (2, 5)
+    assert curves.shape == (2, CFG.inner_steps, 5)
+    np.testing.assert_allclose(curves[:, -1], history)
     assert seen == [0, 1]
     assert np.isfinite(history).all()
 
