@@ -1,0 +1,102 @@
+"""Capture + summarize an XLA-op-level profile of the shader train step.
+
+Writes a jax.profiler trace of N steps, then parses the xplane protobuf
+directly (no TensorBoard UI needed) and prints the top device ops by
+total self time — the ground truth for where the step's roofline gap
+lives. (Round 1's attribution came from a benchmark XLA had partially
+dead-code-eliminated; this replaces it.)
+
+Usage: python benchmarks/trace_step.py [--patch 64] [--out /tmp/trace]
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def capture(out_dir: str, patch: int, batch: int, steps: int) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rendernet_tpu.models.shader import ShaderConfig
+    from rendernet_tpu.train.config import TrainConfig
+    from rendernet_tpu.train.steps import create_shader_state, make_shader_train_step
+
+    cfg = TrainConfig(batch_size=batch, img_res=512, new_size=128,
+                      compute_dtype="bfloat16", is_greyscale=True, e_eta=1e-5)
+    model_cfg = ShaderConfig()
+    state, tx = create_shader_state(jax.random.PRNGKey(0), model_cfg, cfg)
+    step = make_shader_train_step(model_cfg, cfg, tx, patch_size=patch)
+    rng = np.random.default_rng(0)
+    voxels = jnp.asarray((rng.random((batch, 64, 64, 64, 1)) > 0.7).astype(np.float32))
+    images = jnp.asarray(rng.random((batch, 512, 512, 1)).astype(np.float32))
+    poses = jnp.asarray(np.stack(
+        [rng.uniform(0, 6.28, batch), rng.uniform(-1, 1, batch), np.ones(batch)],
+        axis=1).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+
+    state, loss = step(state, voxels, images, poses, key)
+    state, loss = step(state, voxels, images, poses, key)
+    float(loss)
+    jax.profiler.start_trace(out_dir)
+    for _ in range(steps):
+        state, loss = step(state, voxels, images, poses, key)
+    float(loss)
+    jax.profiler.stop_trace()
+
+
+def summarize(out_dir: str, steps: int, top: int = 40) -> None:
+    """Aggregate device-plane op self-times from the trace-events JSON (the
+    perfetto dump jax writes next to the xplane pb)."""
+    paths = sorted(glob.glob(os.path.join(
+        out_dir, "**", "*.trace.json.gz"), recursive=True))
+    if not paths:
+        print(json.dumps({"error": "no trace.json.gz found", "dir": out_dir}))
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device PIDs: process_name metadata containing "TPU" / "device"
+    device_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            name = e.get("args", {}).get("name", "")
+            if "TPU" in name or "/device" in name.lower():
+                device_pids.add(e.get("pid"))
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in device_pids:
+            tot[e.get("name", "?")] += e.get("dur", 0)
+            cnt[e.get("name", "?")] += 1
+    total_us = sum(tot.values())
+    print(json.dumps({"device_total_ms_per_step":
+                      round(total_us / 1000 / steps, 3)}))
+    for name, us in tot.most_common(top):
+        print(json.dumps({
+            "op": name[:120],
+            "ms_per_step": round(us / 1000 / steps, 3),
+            "calls_per_step": cnt[name] // steps,
+            "pct": round(100 * us / max(total_us, 1), 2),
+        }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--patch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--out", type=str, default="/tmp/trace_step")
+    ap.add_argument("--summarize-only", action="store_true")
+    a = ap.parse_args()
+    if not a.summarize_only:
+        capture(a.out, a.patch, a.batch, a.steps)
+    summarize(a.out, a.steps)
