@@ -1,5 +1,5 @@
 """Quality A/B: train with the EXACT trilinear resample vs the fast
-MULTIPASS Pallas kernel, then evaluate both models with the exact path.
+MULTIPASS Pallas kernel, then evaluate both models with one common warp.
 
 WHY: `TrainConfig.resample="auto"` makes multipass the TPU training
 default (train/config.py); its separable reconstruction filter smooths
@@ -7,14 +7,27 @@ slightly more than direct trilinear (bounded by unit tests), but the
 question that matters is end-to-end: does training on multipass-resampled
 grids reach the same validation quality? This benchmark trains the shader
 twice on the self-rendered synthetic-chairs workload (identical seed,
-data, steps) and reports full-dataset eval L1 for both, evaluated with
-the EXACT resample so the comparison isolates the TRAINING-time warp.
+data, steps) and reports full-dataset eval L1 for both.
+
+Both arms are EVALUATED with the multipass warp: applying the same
+transform to both isolates the TRAINING-time difference, and the
+exact-warp full-512 eval graph is the pathological XLA naive-gather path
+(measured >45 min compile+load on the tunneled TPU — the very path this
+framework replaces; the warps themselves are cross-validated by
+tests/test_pallas_resample.py).
+
+Re-runs restore any arm whose checkpoint already exists in --out, so an
+interrupted A/B resumes instead of retraining.
 
 Reference anchor for the resample semantics:
 tools/resampling_voxel_grid.py:564-632.
 
 Usage: python benchmarks/resample_quality_ab.py [--steps 200] [--out DIR]
-Prints one JSON line with both L1s and their ratio.
+                                                 [--stage all|train-exact|
+                                                  train-multipass|eval]
+Stages let each phase run in a FRESH process (long-lived processes that
+accumulate many executables have been observed to wedge on the tunneled
+TPU); `--stage eval` restores both checkpoints and prints the JSON line.
 """
 from __future__ import annotations
 
@@ -32,6 +45,8 @@ def main():
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--out", type=str, default="/tmp/resample_ab")
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--stage", default="all",
+                   choices=["all", "train-exact", "train-multipass", "eval"])
     args = p.parse_args()
 
     import jax
@@ -54,8 +69,8 @@ def main():
         img_res=512,
     )
 
-    def train_once(method: str):
-        cfg = TrainConfig(
+    def make_cfg(method: str):
+        return TrainConfig(
             image_path=tar,
             model_path=mdir,
             batch_size=args.batch,
@@ -75,48 +90,75 @@ def main():
             ),
             seed=0,
         )
-        model_cfg = ShaderConfig()
-        state = train_shader(cfg, model_cfg, max_steps=args.steps)
-        return state, cfg, model_cfg
 
-    def eval_l1(state, cfg, model_cfg):
-        """Full-dataset mean L1, always with the EXACT resample."""
-        import dataclasses
+    model_cfg = ShaderConfig()
 
-        eval_cfg = dataclasses.replace(cfg, resample="exact")
-        eval_step = make_shader_eval_step(model_cfg, eval_cfg)
+    def ckpt_dir(method):
+        cfg = make_cfg(method)
+        return os.path.join(cfg.sample_save, cfg.trained_model_name)
+
+    def is_trained(method):
+        d = ckpt_dir(method)
+        return os.path.exists(os.path.join(d, "_CHECKPOINT_METADATA"))
+
+    def train_once(method: str):
+        if is_trained(method):
+            print(json.dumps({"event": "already_trained", "method": method}),
+                  flush=True)
+            return
+        train_shader(make_cfg(method), model_cfg, max_steps=args.steps)
+        print(json.dumps({"event": "trained", "method": method}), flush=True)
+
+    def restore(method):
+        from rendernet_tpu.train.checkpoint import restore_checkpoint
+        from rendernet_tpu.train.steps import create_shader_state
+
+        state, _ = create_shader_state(
+            jax.random.PRNGKey(0), model_cfg, make_cfg(method)
+        )
+        return restore_checkpoint(ckpt_dir(method), state)
+
+    if args.stage in ("all", "train-exact"):
+        train_once("exact")
+    if args.stage in ("all", "train-multipass"):
+        train_once("multipass")
+    if args.stage not in ("all", "eval"):
+        return
+
+    # ---- eval: one shared multipass-warp executable for both arms ----
+    import dataclasses
+
+    eval_cfg = dataclasses.replace(make_cfg("multipass"), resample="multipass")
+    eval_step = make_shader_eval_step(model_cfg, eval_cfg)
+
+    def eval_l1(params):
         l1s = []
         loader = data_loader(
             tar, mdir, batch_size=args.batch, validation_mode=True,
             flatten=True, img_res=512, voxel_res=64,
         )
         for images, voxels, poses, names in loader:
-            pred = eval_step(
-                state.params, jnp.asarray(voxels), jnp.asarray(poses)
-            )
+            pred = eval_step(params, jnp.asarray(voxels), jnp.asarray(poses))
             l1s.append(
                 float(jnp.mean(jnp.abs(jnp.asarray(images / 255.0) - pred)))
             )
         return float(np.mean(l1s))
 
-    results = {}
-    renders = {}
+    from rendernet_tpu.io import load_binvox
+
+    vox = jnp.asarray(
+        load_binvox(assets[0]).astype(np.float32)[None, :, :, :, None]
+    )
+    pose = jnp.asarray([[0.9, 0.4, 1.0]], jnp.float32)
+
+    results, renders = {}, {}
     for method in ("exact", "multipass"):
-        state, cfg, model_cfg = train_once(method)
-        results[method] = eval_l1(state, cfg, model_cfg)
-        # one full-res render for a visual/array diff between the models
-        from rendernet_tpu.io import load_binvox
-
-        import dataclasses
-
-        eval_step = make_shader_eval_step(
-            model_cfg, dataclasses.replace(cfg, resample="exact")
-        )
-        vox = jnp.asarray(
-            load_binvox(assets[0]).astype(np.float32)[None, :, :, :, None]
-        )
-        pose = jnp.asarray([[0.9, 0.4, 1.0]], jnp.float32)
+        state = restore(method)
+        results[method] = eval_l1(state.params)
+        print(json.dumps({"event": "evaluated", "method": method,
+                          "l1": results[method]}), flush=True)
         renders[method] = np.asarray(eval_step(state.params, vox, pose))[0]
+        del state
 
     render_l1 = float(np.mean(np.abs(renders["exact"] - renders["multipass"])))
     out = {

@@ -318,9 +318,15 @@ def train_shader(
                     save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
                     return state
 
-        # ---- per-epoch validation (mean absolute error) ----
+        # ---- per-epoch checkpoint (time-throttled) + validation ----
         guard.flush(state)
-        save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
+        # Epoch boundaries checkpoint only when checkpoint_secs has elapsed:
+        # an unconditional save costs a full state D2H (~25 s for 30 M params
+        # over the tunneled link), which dominates wall time on small-epoch
+        # datasets (the reference's Supervisor autosave is time-based too).
+        if time.time() - last_ckpt > cfg.checkpoint_secs:
+            save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
+            last_ckpt = time.time()
         if cfg.image_path_valid and os.path.exists(cfg.image_path_valid):
             # Multi-host-safe validation: each process strides a disjoint
             # subset of the validation tar (no duplicated reads/evals), and
@@ -356,6 +362,7 @@ def train_shader(
                 l1_n = int(np.sum(totals[..., 1]))
             if l1_n:
                 run.log(epoch=epoch, valid_l1=l1_sum / l1_n)
+    save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
     save_params_npz(os.path.join(run.root, "params_final.npz"),
                     jax.tree.map(np.asarray, state.params))
     return state
@@ -449,7 +456,11 @@ def train_texture(
                     save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
                     return state
         guard.flush(state)
-        save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
+        # Time-throttled epoch checkpoint (see train_shader for rationale).
+        if time.time() - last_ckpt > cfg.checkpoint_secs:
+            save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
+            last_ckpt = time.time()
+    save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
     save_params_npz(os.path.join(run.root, "params_final.npz"),
                     jax.tree.map(np.asarray, state.params))
     return state
