@@ -125,7 +125,14 @@ class NpyTarReader:
         return None, None
 
     def close(self) -> None:
-        self.tfile.close()
+        # Idempotent and safe under generator teardown: when a consumer
+        # abandons a loader generator mid-iteration, GC runs this close
+        # while the interpreter may already have torn parts of the tarfile
+        # down (observed: AttributeError on a half-closed member stream).
+        try:
+            self.tfile.close()
+        except (OSError, AttributeError):
+            pass
 
     def __enter__(self) -> "NpyTarReader":
         return self
