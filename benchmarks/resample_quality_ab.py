@@ -45,6 +45,7 @@ def main():
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--out", type=str, default="/tmp/resample_ab")
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--stage", default="all",
                    choices=["all", "train-exact", "train-multipass", "eval"])
     args = p.parse_args()
@@ -77,7 +78,7 @@ def main():
             batches_chunk=2,
             img_res=512,
             new_size=128,
-            e_eta=1e-4,
+            e_eta=args.lr,
             curriculum_epochs=0,
             max_epochs=1000,
             sample_save=os.path.join(args.out, f"run_{method}"),
