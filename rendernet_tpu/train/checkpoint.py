@@ -52,7 +52,10 @@ def save_checkpoint(path: str, state: Any) -> None:
     if jax.process_count() > 1:
         if jax.process_index() == 0:
             tmp = path + ".npz.tmp"
-            np.savez(tmp, **numbered)
+            # write via a file object: np.savez given a NAME not ending in
+            # .npz silently appends the suffix, breaking the atomic rename
+            with open(tmp, "wb") as f:
+                np.savez(f, **numbered)
             os.replace(tmp, path + ".npz")
         return
     _checkpointer().save(path, numbered, force=True)

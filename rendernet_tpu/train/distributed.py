@@ -56,7 +56,7 @@ def initialize_multihost(
     ) or os.environ.get("COORDINATOR_ADDRESS")
     if not configured:
         return False
-    if jax.distributed.global_state.client is not None:  # already up
+    if jax.distributed.is_initialized():  # already up
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
