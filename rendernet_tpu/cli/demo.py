@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "frozen-.pb demo path, RenderNet_demo.py:23-30)")
     p.add_argument("--out_channels", type=int, default=3,
                    help="shader head channels (3 = normal-map demo net)")
+    p.add_argument("--arch", type=str, default="",
+                   help="ShaderConfig overrides as a JSON file or inline "
+                        "JSON (e.g. '{\"base\": 4, \"new_size\": 64}') — "
+                        "lets --weights load reduced architectures such as "
+                        "the committed showcase net assets/shader_tiny*")
     p.add_argument("--resample", type=str, default="exact",
                    choices=["exact", "multipass"],
                    help="voxel resample kernel: exact trilinear (reference "
@@ -74,7 +79,23 @@ def main(argv=None):
     from rendernet_tpu.ops.phong import np_generate_light_pos, np_phong_composite
     from rendernet_tpu.utils.image import save_gif, save_image, to_uint8
 
-    cfg = ShaderConfig(out_channels=args.out_channels)
+    arch = {}
+    if args.arch:
+        import dataclasses
+        import json
+
+        text = args.arch
+        if os.path.exists(text):
+            with open(text) as f:
+                text = f.read()
+        arch = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in json.loads(text).items()
+        }
+        bad = set(arch) - {f.name for f in dataclasses.fields(ShaderConfig)}
+        if bad:
+            raise SystemExit(f"--arch: unknown ShaderConfig fields {sorted(bad)}")
+    cfg = ShaderConfig(**{"out_channels": args.out_channels, **arch})
     if args.frozen:
         from rendernet_tpu.compat import load_frozen
 

@@ -33,17 +33,33 @@ def _render_silhouette(vox: np.ndarray, pose: np.ndarray, img_res: int) -> np.nd
     from rendernet_tpu.ops.transforms import silhouette
 
     # jit (cached per process): eager dispatch is pathological on remote
-    # backends and needlessly slow everywhere else.
+    # backends and needlessly slow everywhere else. Dataset generation is
+    # host-side data prep, so it is pinned to the CPU backend: batch-1
+    # exact-path renders gain nothing from an accelerator, the output is
+    # bit-deterministic across runs, and on tunneled TPU platforms the
+    # remote compile of the gather program can take longer than rendering
+    # the whole dataset locally.
     if "f" not in _SIL_FN:
-        _SIL_FN["f"] = jax.jit(
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:  # platform-restricted build: use the default
+            cpu = None
+        fn = jax.jit(
             lambda v, p: silhouette(
                 rotate_resample_to_camera(v, p, new_size=128)
             )
         )
-    cam_sil = _SIL_FN["f"](
-        jnp.asarray(vox[None, :, :, :, None], jnp.float32),
-        jnp.asarray(pose[None], jnp.float32),
-    )
+        _SIL_FN["f"] = fn
+        _SIL_FN["cpu"] = cpu
+    cpu = _SIL_FN["cpu"]
+    import contextlib
+
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        cam_sil = _SIL_FN["f"](
+            jnp.asarray(vox[None, :, :, :, None], jnp.float32),
+            jnp.asarray(pose[None], jnp.float32),
+        )
     sil = np.asarray(cam_sil)[0, :, :, 0]
     # Nearest-neighbour upsample 128 -> img_res.
     factor = img_res // sil.shape[0]

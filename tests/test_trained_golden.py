@@ -1,0 +1,108 @@
+"""Golden-image regression + quality tests on the committed trained weights.
+
+``assets/shader_tiny_silhouette.npz`` is a reduced-width shader RenderNet
+(same topology as RenderNet_Shader.py:32-131; arch in
+``assets/shader_tiny_arch.json``) trained on self-rendered silhouette data
+by ``examples/train_tiny_shader.py``. These tests pin the whole inference
+stack end to end:
+
+  * regression: a fixed render must match the committed golden image —
+    any numeric drift anywhere in binvox I/O, pose math, exact resample,
+    axis alignment, or the conv/PReLU/deconv stack moves the pixels;
+  * quality: the trained net must actually render the (held-out pose)
+    silhouette it was trained to produce, so the committed artifact stays
+    a real trained model, not noise.
+
+The reference has no analog (no tests, no committed weights); this stands
+in for the unfetchable released-weights parity gate at reduced scale.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+ASSETS = os.path.join(os.path.dirname(__file__), os.pardir, "assets")
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+POSE_DEG = (250.0, 60.0, 3.3)  # azimuth, elevation, radius (demo defaults)
+
+
+@pytest.fixture(scope="module")
+def tiny_net():
+    import jax
+
+    from rendernet_tpu.models.shader import ShaderConfig
+    from rendernet_tpu.train.checkpoint import load_params_npz
+
+    with open(os.path.join(ASSETS, "shader_tiny_arch.json")) as f:
+        arch = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in json.load(f).items()
+        }
+    cfg = ShaderConfig(**arch)
+    params = load_params_npz(os.path.join(ASSETS, "shader_tiny_silhouette.npz"))
+    return cfg, params
+
+
+def _render(cfg, params, az_deg, el_deg, radius):
+    import jax
+    import jax.numpy as jnp
+
+    from rendernet_tpu.io import load_binvox
+    from rendernet_tpu.models.shader import shader_forward
+
+    vox = load_binvox("/root/reference/binvox/chair.binvox").astype(np.float32)
+    pose = np.array(
+        [[np.deg2rad(az_deg), np.deg2rad(90.0 - el_deg), 3.3 / radius]],
+        np.float32,
+    )
+    img = jax.jit(
+        lambda p, v, q: shader_forward(p, v, q, cfg, resample="exact")
+    )(params, jnp.asarray(vox[None, :, :, :, None]), jnp.asarray(pose))
+    return np.asarray(img)[0, :, :, 0]
+
+
+def test_trained_render_matches_golden(tiny_net):
+    cfg, params = tiny_net
+    img = _render(cfg, params, *POSE_DEG)
+    golden = np.load(os.path.join(GOLDEN, "shader_tiny_render.npy")).astype(
+        np.float32
+    )
+    assert img.shape == golden.shape
+    # fp32 CPU renders are deterministic up to XLA version-to-version
+    # reassociation; the committed golden is float16 so quantization alone
+    # contributes <= 2^-11.
+    diff = np.abs(img - golden)
+    assert diff.mean() < 2e-3, diff.mean()
+    assert diff.max() < 5e-2, diff.max()
+
+
+def test_trained_render_quality_on_heldout_pose(tiny_net):
+    """The committed net renders a real silhouette at a pose it never saw
+    (training grid: az % 45 == 20, elev in {60, 90} — see
+    examples/train_tiny_shader.py)."""
+    import jax.numpy as jnp
+
+    from rendernet_tpu.io import load_binvox
+    from rendernet_tpu.ops.resample import rotate_resample_to_camera
+    from rendernet_tpu.ops.transforms import silhouette
+
+    cfg, params = tiny_net
+    az, el, radius = 137.0, 15.0, 3.3  # between training az {110, 155}, elev {0, 30}
+    img = _render(cfg, params, az, el, radius)
+
+    vox = load_binvox("/root/reference/binvox/chair.binvox").astype(np.float32)
+    pose = np.array(
+        [[np.deg2rad(az), np.deg2rad(90.0 - el), 3.3 / radius]], np.float32
+    )
+    cam = rotate_resample_to_camera(
+        jnp.asarray(vox[None, :, :, :, None]), jnp.asarray(pose), new_size=128
+    )
+    tgt = np.asarray(silhouette(cam))[0, :, :, 0]
+    factor = img.shape[0] // tgt.shape[0]
+    tgt = np.repeat(np.repeat(tgt, factor, axis=0), factor, axis=1)
+    tgt = np.clip(tgt, 0.0, 1.0)
+
+    l1 = np.abs(img - tgt).mean()
+    assert l1 < 0.05, l1  # trained: ~0.02; an untrained net scores ~0.3+
