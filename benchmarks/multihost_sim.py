@@ -1,26 +1,27 @@
-"""Two-PROCESS multi-host integration test on CPU (no TPU needed).
+"""Multi-PROCESS multi-host integration test on CPU (no TPU needed).
 
 Round 1 validated the multi-host code path (hybrid mesh, per-process
 loaders, host-local batch assembly, chief checkpoints) inside ONE process
-with 8 virtual devices. This driver runs the REAL thing: two separate
-processes under ``jax.distributed`` (Gloo collectives), each owning 4
-virtual CPU devices and a strided half of the dataset, training the shader
-through ``train_shader`` end-to-end — then compares per-step losses
-against a single-process 8-device run of the same global batch.
+with 8 virtual devices. This driver runs the REAL thing: N separate
+processes (``--nproc``, default 2; round 3 also records 4) under
+``jax.distributed`` (Gloo collectives), each owning 8/N virtual CPU
+devices and a strided 1/N of the dataset, training the shader through
+``train_shader`` end-to-end — then compares per-step losses against a
+single-process 8-device run of the same global batch.
 
 Equivalence holds exactly (up to reduction order): the global batch is the
-same multiset of samples (the loaders stride entries 0/2/4... and
-1/3/5...; the loss is a batch mean, so the permutation is invisible), the
-crop offsets are per-step (shared), and params are replicated.
+same multiset of samples (the loaders stride entries i, i+N, i+2N, ...;
+the loss is a batch mean, so the permutation is invisible), the crop
+offsets are per-step (shared), and params are replicated.
 
 Checks (driver exit code != 0 on failure):
-  * both workers initialize, see 8 global / 4 local devices;
+  * all workers initialize, see 8 global / 8/N local devices;
   * per-step losses match the single-process run to ~1e-4 relative;
   * validation L1 (strided per process + allgather) matches;
   * only the chief writes checkpoints (flat .npz form).
 
-Usage: python benchmarks/multihost_sim.py          # driver
-       (spawns itself with --worker {0,1} and --single)
+Usage: python benchmarks/multihost_sim.py [--nproc N]   # driver
+       (spawns itself with --builddata, --worker i, and --single)
 """
 from __future__ import annotations
 
@@ -46,7 +47,14 @@ def _prep_env(n_local):
 
 
 def build_dataset(out: str):
+    """Idempotent: the driver pre-builds once (in a subprocess) so N
+    concurrent workers never race on the tar/model writes."""
     import glob
+
+    tar = os.path.join(out, "data", "images.tar")
+    mdir = os.path.join(out, "data", "models")
+    if os.path.exists(tar) and os.path.isdir(mdir):
+        return tar, mdir
 
     from rendernet_tpu.data import make_synthetic_shader_tar
 
@@ -82,7 +90,7 @@ def run_training(tar, mdir, out_dir, losses_path):
             json.dump(losses, f)
 
 
-def worker(pid: int, out: str):
+def worker(pid: int, out: str, nproc: int):
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
@@ -90,11 +98,11 @@ def worker(pid: int, out: str):
     from rendernet_tpu.train.distributed import initialize_multihost
 
     assert initialize_multihost(
-        coordinator_address=f"localhost:{PORT}", num_processes=2,
+        coordinator_address=f"localhost:{PORT}", num_processes=nproc,
         process_id=pid,
     )
-    assert jax.process_count() == 2
-    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 8 // nproc
     tar, mdir = build_dataset(out)
     run_training(tar, mdir, os.path.join(out, "mh_run"),
                  os.path.join(out, "mh_losses.json"))
@@ -113,18 +121,26 @@ def single(out: str):
     print("single done", flush=True)
 
 
-def driver(out: str):
+def driver(out: str, nproc: int):
+    assert 8 % nproc == 0 and BATCH % nproc == 0, nproc
     os.makedirs(out, exist_ok=True)
     me = os.path.abspath(__file__)
+    # Pre-build the dataset once so workers can't race on the writes.
+    rc = subprocess.run(
+        [sys.executable, me, "--builddata", "--out", out], env=_prep_env(1),
+        timeout=1200,
+    ).returncode
+    assert rc == 0, f"dataset build exit {rc}"
     procs = [
         subprocess.Popen(
-            [sys.executable, me, "--worker", str(i), "--out", out],
-            env=_prep_env(4),
+            [sys.executable, me, "--worker", str(i), "--out", out,
+             "--nproc", str(nproc)],
+            env=_prep_env(8 // nproc),
         )
-        for i in (0, 1)
+        for i in range(nproc)
     ]
     rcs = [p.wait(timeout=1200) for p in procs]
-    assert rcs == [0, 0], f"worker exit codes {rcs}"
+    assert rcs == [0] * nproc, f"worker exit codes {rcs}"
     rc = subprocess.run(
         [sys.executable, me, "--single", "--out", out], env=_prep_env(8),
         timeout=1200,
@@ -154,7 +170,7 @@ def driver(out: str):
     ok_ckpt = os.path.exists(os.path.join(out, "mh_run", "3d2d_renderer.npz"))
 
     print(json.dumps({
-        "bench": "multihost_sim_2proc_cpu",
+        "bench": f"multihost_sim_{nproc}proc_cpu",
         "steps": STEPS,
         "max_rel_loss_diff": round(max(rel), 8),
         "valid_l1_mh": v_mh, "valid_l1_sp": v_sp,
@@ -168,11 +184,15 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--single", action="store_true")
+    ap.add_argument("--builddata", action="store_true")
+    ap.add_argument("--nproc", type=int, default=2)
     ap.add_argument("--out", type=str, default="/tmp/multihost_sim")
     a = ap.parse_args()
-    if a.worker is not None:
-        worker(a.worker, a.out)
+    if a.builddata:
+        build_dataset(a.out)
+    elif a.worker is not None:
+        worker(a.worker, a.out, a.nproc)
     elif a.single:
         single(a.out)
     else:
-        driver(a.out)
+        driver(a.out, a.nproc)
