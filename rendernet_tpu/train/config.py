@@ -61,6 +61,11 @@ class TrainConfig:
     # its adjoint band (6 -> 4 taps at 1.2; -25% of that kernel's gathers).
     # The train loop validates every chunk's poses against the bound.
     pose_scale_limit: Optional[float] = None
+    # Mirror numeric metrics into TensorBoard event files under
+    # <sample_save>/tb (scalar parity with the reference's tf.summary
+    # writes, RenderNet_Shader.py:169-173; dependency-free writer —
+    # rendernet_tpu.utils.tb). metrics.jsonl stays the primary record.
+    tensorboard: bool = True
     # Profiling: when profile_dir is set, a jax.profiler trace of steps
     # [profile_start_step, profile_start_step + profile_steps) is written
     # there (view with TensorBoard / xprof).
@@ -82,7 +87,11 @@ class TrainConfig:
     skip_nonfinite_updates: int = 0
     # Cache device-resident batches across epochs (small, deterministic
     # datasets only — eliminates repeat host->device transfers entirely).
+    # At most ``cache_chunks_max_batches`` batches are kept (checked against
+    # device memory at mesh setup); past the cap, later batches stream
+    # normally — a real-dataset run cannot OOM the device through the cache.
     cache_chunks: bool = False
+    cache_chunks_max_batches: int = 256
     # Gradient accumulation: split each batch into this many microbatches,
     # accumulate fp32 gradients across them (lax.scan), apply ONE optimizer
     # update. Exact same update as the full batch (shared crop/dropout rng,

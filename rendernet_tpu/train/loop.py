@@ -199,10 +199,25 @@ class _RunDir:
         os.makedirs(self.root, exist_ok=True)
         cfg.to_json(os.path.join(self.root, "config.json"))
         self.metrics_path = os.path.join(self.root, "metrics.jsonl")
+        self.tb = None
+        if cfg.tensorboard:
+            from rendernet_tpu.utils.tb import TBWriter
+
+            # Chief-only, like the checkpoint writes.
+            if jax.process_index() == 0:
+                self.tb = TBWriter(os.path.join(self.root, "tb"))
 
     def log(self, **kv):
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(kv) + "\n")
+        if self.tb is not None:
+            step = int(kv.get("step", kv.get("epoch", 0) or 0))
+            for k, v in kv.items():
+                if k not in ("step", "epoch", "event") and isinstance(
+                    v, (int, float)
+                ):
+                    self.tb.scalar(k, float(v), step)
+            self.tb.flush()
 
     def dump_pair(self, tag: str, step: int, pred: np.ndarray, target: np.ndarray):
         def u8(x):
@@ -241,6 +256,7 @@ def train_shader(
     global_step = int(state.step)
     last_ckpt = time.time()
     chunk_cache = {}  # (chunk, batch) -> device arrays, when cfg.cache_chunks
+    cache_cap_logged = False
 
     for epoch in range(cfg.max_epochs):
         patch = cfg.patch_size_for_epoch(epoch)
@@ -281,7 +297,14 @@ def train_shader(
                     if mesh is not None:
                         batch = shard_batch(mesh, batch)
                     if cfg.cache_chunks:
-                        chunk_cache[(chunk_idx, i)] = batch
+                        # Bounded: past the cap, stream — the cache must not
+                        # be able to fill device memory on a real dataset.
+                        if len(chunk_cache) < cfg.cache_chunks_max_batches:
+                            chunk_cache[(chunk_idx, i)] = batch
+                        elif not cache_cap_logged:
+                            cache_cap_logged = True
+                            run.log(event="cache_chunks_cap",
+                                    cached_batches=cfg.cache_chunks_max_batches)
                 _profile_window(cfg, global_step)
                 state, loss = step_fn(state, *batch, step_key)
                 global_step += 1
@@ -333,7 +356,6 @@ def train_shader(
             # single-process runs shard each eval batch over the data mesh
             # so every local device contributes. Per-process sums aggregate
             # once per epoch (one collective, no per-batch lockstep).
-            l1_sum, l1_n = 0.0, 0
             valid = data_loader(
                 cfg.image_path_valid,
                 cfg.model_path,
@@ -344,14 +366,19 @@ def train_shader(
                 voxel_res=cfg.voxel_res,
                 shard=(pidx, pcount) if pcount > 1 else None,
             )
+            # Per-batch L1s stay on device; ONE host sync fetches the whole
+            # epoch's stack (a float() per batch costs a dispatch bubble
+            # each — ~70 ms RTT on the tunneled platform).
+            l1_parts = []
             for images, voxels, poses, names in valid:
                 vb = (jnp.asarray(voxels), jnp.asarray(poses),
                       jnp.asarray((images / 255.0).astype(np.float32)))
                 if mesh is not None and pcount == 1:
                     vb = shard_batch(mesh, vb)
                 pred = eval_step(state.params, vb[0], vb[1])
-                l1_sum += float(jnp.mean(jnp.abs(vb[2] - pred)))
-                l1_n += 1
+                l1_parts.append(jnp.mean(jnp.abs(vb[2] - pred)))
+            l1_sum = float(np.sum(jax.device_get(l1_parts))) if l1_parts else 0.0
+            l1_n = len(l1_parts)
             if pcount > 1:
                 from jax.experimental import multihost_utils
 
