@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import math
 import os
+import sys
 
 import numpy as np
 
@@ -95,6 +96,15 @@ def main(argv=None):
         bad = set(arch) - {f.name for f in dataclasses.fields(ShaderConfig)}
         if bad:
             raise SystemExit(f"--arch: unknown ShaderConfig fields {sorted(bad)}")
+        raw_argv = argv if argv is not None else sys.argv[1:]
+        explicit = any(a == "--out_channels" or a.startswith("--out_channels=")
+                       for a in raw_argv)
+        if ("out_channels" in arch and explicit
+                and arch["out_channels"] != args.out_channels):
+            raise SystemExit(
+                f"--out_channels {args.out_channels} conflicts with the --arch "
+                f"file's out_channels={arch['out_channels']}; drop one"
+            )
     cfg = ShaderConfig(**{"out_channels": args.out_channels, **arch})
     if args.frozen:
         from rendernet_tpu.compat import load_frozen
