@@ -145,7 +145,12 @@ def recon_per_sample_loss(
     return jnp.mean((target - compos) ** 2, axis=(1, 2, 3))
 
 
-def make_recon_step(model: ReconModel, cfg: ReconConfig, scan_steps: Optional[int] = None):
+def make_recon_step(
+    model: ReconModel,
+    cfg: ReconConfig,
+    scan_steps: Optional[int] = None,
+    loss_fn=None,
+):
     """Build the jitted optimization step.
 
     Without ``scan_steps``: one SGD step, returns (latents, per-sample loss).
@@ -153,15 +158,23 @@ def make_recon_step(model: ReconModel, cfg: ReconConfig, scan_steps: Optional[in
     launch, returning (latents, loss history [T, B]).
     Per-group learning rates follow the reference's 4-optimizer split.
 
+    ``loss_fn(model, latents, target, cfg) -> [B]`` swaps the forward
+    model under the same search machinery (default:
+    ``recon_per_sample_loss``, the full 3-net pipeline). Any pretrained
+    differentiable renderer can serve — e.g. pose(+code) recovery through
+    the trained tiny nets, or a pure geometric silhouette loss in tests.
+
     The frozen model parameters are jit ARGUMENTS (bound via the returned
     closure), not trace-time constants — closing over ~30M weights would
     bake them into the HLO, bloating compiles (and overflowing remote-
     compile transports).
     """
+    if loss_fn is None:
+        loss_fn = recon_per_sample_loss
 
     def one_step(model: ReconModel, target: jnp.ndarray, latents: Latents):
         def loss_and_aux(l):
-            per = recon_per_sample_loss(model, l, target, cfg)
+            per = loss_fn(model, l, target, cfg)
             return jnp.sum(per), per
 
         (_, per_sample), grads = jax.value_and_grad(loss_and_aux, has_aux=True)(
@@ -271,6 +284,7 @@ def reconstruct(
     run=None,
     dump_every: Optional[int] = None,
     inner_callback=None,
+    loss_fn=None,
 ) -> Tuple[Latents, np.ndarray, np.ndarray]:
     """Full coarse-to-fine reconstruction driver.
 
@@ -298,7 +312,7 @@ def reconstruct(
             f"dump_every={dump_every} must divide inner_steps={cfg.inner_steps}"
         )
     if run is None:
-        run = make_recon_step(model, cfg, scan_steps=chunk)
+        run = make_recon_step(model, cfg, scan_steps=chunk, loss_fn=loss_fn)
     latents = initial_latents(cfg, seed)
     phi_range, theta_range = cfg.phi_range0, cfg.theta_range0
     history = []

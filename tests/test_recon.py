@@ -133,6 +133,65 @@ def test_reconstruct_driver_runs_and_subdivides(model, scan_run):
     assert np.isfinite(history).all()
 
 
+def test_reconstruct_pose_error_shrinks_across_epochs():
+    """The coarse-to-fine search CONVERGES on pose when the forward model
+    can actually rank hypotheses. Random frozen nets cannot (their renders
+    are nearly pose-ambiguous blobs — ranking is noise, and greedy box
+    subdivision then traps itself; the reference always searches through
+    PRETRAINED nets, Reconstruct_RenderNet_Face.py:336-338). So this test
+    drives the identical machinery — make_recon_step grouping, lax.scan
+    inner loop, best-of-batch ranking, box subdivision (:458-537) — with a
+    pose-identifiable differentiable forward: rotate a real chair voxel
+    grid by the hypothesis pose and match its silhouette. The trained-net
+    equivalents live in test_trained_golden*.py / the committed recon
+    artifacts."""
+    import dataclasses
+
+    from rendernet_tpu.io import load_binvox
+    from rendernet_tpu.ops.resample import rotate_resample_to_camera
+    from rendernet_tpu.ops.transforms import silhouette
+
+    cfg = dataclasses.replace(CFG, inner_steps=4, max_epochs=3, pose_eta=0.002)
+    vox = load_binvox("/root/reference/binvox/chair.binvox").astype(np.float32)
+    vox_b = jnp.asarray(
+        np.broadcast_to(vox[None, :, :, :, None], (cfg.batch_size,) + vox.shape + (1,))
+    )
+
+    def sil_loss(model, latents, target, cfg):
+        cam = rotate_resample_to_camera(vox_b, latents.pose, new_size=cfg.new_size)
+        sil = silhouette(cam)
+        return jnp.mean((sil - target) ** 2, axis=(1, 2, 3))
+
+    true_pose = np.array(
+        [[255.0 * math.pi / 180.0, 8.0 * math.pi / 180.0, 1.0]], np.float32
+    )
+    cam_t = rotate_resample_to_camera(
+        jnp.asarray(vox[None, :, :, :, None]), jnp.asarray(true_pose),
+        new_size=cfg.new_size,
+    )
+    target = jnp.tile(silhouette(cam_t), (cfg.batch_size, 1, 1, 1))
+
+    def err_deg(pose_row):
+        d = (np.asarray(pose_row) - true_pose[0]) * 180.0 / math.pi
+        az = abs(float(d[0])) % 360.0
+        return min(az, 360.0 - az) + abs(float(d[1]))
+
+    errs = []
+    latents, history, _ = reconstruct(
+        ReconModel(decoder={}, texture={}, renderer={}), target, cfg,
+        callback=lambda e, l, f: errs.append(
+            err_deg(l.pose[int(np.argmin(np.asarray(f)))])
+        ),
+        loss_fn=sil_loss,
+    )
+    assert len(errs) == cfg.max_epochs
+    # Epoch 1's best corner of the 270+-30 x 90+-15 box is >= ~15+8 deg
+    # off the true (255, el 8); ranking + subdivision + pose grads must at
+    # least halve the combined error and land within 10 deg total.
+    assert errs[-1] < errs[0] * 0.5, errs
+    assert errs[-1] < 10.0, errs
+
+
 def test_subdivided_latents_tiles_best():
     latents = initial_latents(CFG)
     new = subdivided_latents(latents, best_idx=3, phi_range=30, theta_range=15, cfg=CFG)
