@@ -1,0 +1,108 @@
+"""Texture/normal (face) training-step throughput at full reference scale.
+
+VERDICT r2 weak #4: the texture workload had one patch-64 number and no
+full-512 measurement (and, before round 3, no remat knob to make full-512
+fit). This measures the REFERENCE-architecture two-head net
+(RenderNet_Texture_Face_Normal.py:34-147: texture decoder -> dual
+rotate+resample -> concat -> 16-ch encoder -> albedo+normal heads, joint
+MSE) fwd+bwd at the true full-512 step (patch 128) and the patch-64
+curriculum step, bf16, with the same OOM fallback ladder as bench.py
+(remat, then batch halving).
+
+One JSON line; record into benchmarks/results/texture_bench_r3.json.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+
+def measure(patch: int, batch: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rendernet_tpu.models.texture_face import TextureFaceConfig
+    from rendernet_tpu.train.config import TrainConfig
+    from rendernet_tpu.train.steps import (
+        create_texture_state,
+        make_texture_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    while True:
+        for remat in (False, True):
+            try:
+                cfg = TrainConfig(
+                    batch_size=batch, img_res=512, new_size=128,
+                    compute_dtype="bfloat16", is_greyscale=False, e_eta=1e-5,
+                )
+                model_cfg = TextureFaceConfig(remat=remat)
+                state, tx = create_texture_state(
+                    jax.random.PRNGKey(0), model_cfg, cfg
+                )
+                step = make_texture_train_step(model_cfg, cfg, tx, patch_size=patch)
+                voxels = jnp.asarray(
+                    (rng.random((batch, 64, 64, 64, 1)) > 0.7).astype(np.float32)
+                )
+                images = jnp.asarray(
+                    rng.random((batch, 512, 512, 3)).astype(np.float32)
+                )
+                normals = jnp.asarray(
+                    rng.random((batch, 512, 512, 3)).astype(np.float32)
+                )
+                textures = jnp.asarray(
+                    rng.standard_normal((batch, 199)).astype(np.float32)
+                )
+                poses = jnp.asarray(np.stack(
+                    [rng.uniform(0, 6.28, batch), rng.uniform(-1, 1, batch),
+                     np.ones(batch)], axis=1).astype(np.float32))
+                state, loss = step(
+                    state, voxels, images, normals, textures, poses, key
+                )
+                float(loss)
+                break
+            except Exception:
+                if remat and batch <= 1:
+                    raise
+        else:
+            batch //= 2
+            continue
+        break
+    n_steps = 6
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = step(state, voxels, images, normals, textures, poses, key)
+    float(loss)
+    dt = time.perf_counter() - t0
+    return {
+        "patch": patch,
+        "batch": batch,
+        "remat": remat,
+        "s_per_step": round(dt / n_steps, 4),
+        "frames_per_s": round(batch * n_steps / dt, 4),
+    }
+
+
+def main():
+    import jax
+
+    out = {
+        "bench": "texture_train_step",
+        "date": time.strftime("%Y-%m-%d"),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0].device_kind),
+        "note": (
+            "reference-architecture two-head texture/normal net "
+            "(decoder + dual resample + joint MSE), bf16, batch as "
+            "reported after the OOM fallback ladder"
+        ),
+        "full512": measure(128, 24),
+        "patch64": measure(64, 24),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,7 @@ from rendernet_tpu.data.pose import pose_from_name, pose_to_name_suffix
 from rendernet_tpu.io import binvox as binvox_rw
 from rendernet_tpu.utils.image import encode_png, to_uint8
 
-__all__ = ["make_synthetic_shader_tar", "synthetic_face_dataset"]
+__all__ = ["make_synthetic_shader_tar", "synthetic_face_dataset", "beta_to_rgb"]
 
 
 _SIL_FN = {}
@@ -66,6 +66,65 @@ def _render_silhouette(vox: np.ndarray, pose: np.ndarray, img_res: int) -> np.nd
     if factor > 1:
         sil = np.repeat(np.repeat(sil, factor, axis=0), factor, axis=1)
     return np.clip(sil, 0.0, 1.0) * 255.0
+
+
+def _render_sil_normal(
+    vox: np.ndarray, pose: np.ndarray, img_res: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Silhouette in [0,1] plus a pose-dependent screen-space normal map.
+
+    The normal target is derived from the camera-aligned grid's depth
+    front: d(h,w) = first occupied slice, normals from the depth gradient
+    (encoded (n+1)/2, background = flat +Z = (0.5, 0.5, 1)). This gives the
+    face workload's normal head real pose-varying structure to learn,
+    standing in for the reference's Basel-face normal renders
+    (tools/data_util.py:182-187)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rendernet_tpu.ops.resample import rotate_resample_to_camera
+
+    if "cam" not in _SIL_FN:
+        _SIL_FN["cam"] = jax.jit(
+            lambda v, p: rotate_resample_to_camera(v, p, new_size=128)
+        )
+    import contextlib
+
+    if "cpu" not in _SIL_FN:
+        try:
+            _SIL_FN["cpu"] = jax.devices("cpu")[0]
+        except RuntimeError:
+            _SIL_FN["cpu"] = None
+    cpu = _SIL_FN["cpu"]
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        cam = _SIL_FN["cam"](
+            jnp.asarray(vox[None, :, :, :, None], jnp.float32),
+            jnp.asarray(pose[None], jnp.float32),
+        )
+    occ = np.asarray(cam)[0, :, :, :, 0] > 0.5  # [H, W, D]
+    sil = occ.any(axis=2).astype(np.float32)
+    depth = np.where(sil > 0, np.argmax(occ, axis=2), occ.shape[2]).astype(
+        np.float32
+    )
+    dy, dx = np.gradient(depth)
+    n = np.stack([-dx, -dy, np.ones_like(dx) * 2.0], axis=-1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    normal = (n + 1.0) * 0.5
+    normal[sil == 0] = (0.5, 0.5, 1.0)
+    factor = img_res // sil.shape[0]
+    if factor > 1:
+        sil = np.repeat(np.repeat(sil, factor, axis=0), factor, axis=1)
+        normal = np.repeat(np.repeat(normal, factor, axis=0), factor, axis=1)
+    return sil, normal
+
+
+def beta_to_rgb(beta: np.ndarray) -> np.ndarray:
+    """Deterministic identity color from the first 3 texture-code dims:
+    rgb = 0.3 + 0.65 * sigmoid(beta[:3]). The albedo head can only get
+    this right by actually decoding the texture code."""
+    b3 = np.asarray(beta).reshape(-1)[:3]
+    return (0.3 + 0.65 / (1.0 + np.exp(-b3))).astype(np.float32)
 
 
 def make_synthetic_shader_tar(
@@ -142,23 +201,21 @@ def synthetic_face_dataset(
             binvox_rw.save_binvox(
                 vox > 0.5, os.path.join(model_dir, ident + ".binvox")
             )
+            beta = rng.standard_normal((texture_dim, 1)).astype(np.float32)
             scipy.io.savemat(
                 os.path.join(texture_dir, f"beta{ident.split('ly')[1]}.mat"),
-                {"beta": rng.standard_normal((texture_dim, 1)).astype(np.float32)},
+                {"beta": beta},
             )
+            rgb = beta_to_rgb(beta)  # identity color is a FUNCTION of beta
             for az, th in poses_deg:
                 entry = ident + pose_to_name_suffix(az, th)
                 pose = pose_from_name(entry)
-                sil = _render_silhouette(vox, pose, img_res) / 255.0
-                albedo = np.stack([sil, sil * 0.8, sil * 0.6], axis=-1) * 255.0
+                sil, normal = _render_sil_normal(vox, pose, img_res)
+                albedo = sil[..., None] * rgb[None, None, :] * 255.0
                 png = encode_png(to_uint8(albedo))
                 info = tarfile.TarInfo(entry + ".png")
                 info.size = len(png)
                 tf.addfile(info, io.BytesIO(png))
-                # Synthetic normal map: flat +Z normals inside the silhouette.
-                normal = np.stack(
-                    [0.5 * sil, 0.5 * sil, 0.5 * sil + 0.5 * (sil > 0)], axis=-1
-                )
                 with open(os.path.join(normal_dir, entry + ".png"), "wb") as f:
                     f.write(encode_png(to_uint8(normal * 255.0)))
     return tar_path, model_dir, texture_dir, normal_dir

@@ -50,6 +50,14 @@ class TextureFaceConfig:
     """Static hyperparameters; defaults reproduce the reference exactly."""
 
     texture_dim: int = 199
+    # Texture-decoder base grid: the FC emits tex_base^3 x 4 and stride-2
+    # deconvs double it until tex_grid. (32, 64) reproduces the reference
+    # exactly (:34-46 — one doubling, identical param paths); a smaller
+    # tex_base shrinks the dominant FC for committable tiny nets while
+    # KEEPING the final 64^3 grid, which must match the shape grid's
+    # physical extent (the resampler keeps unit voxel spacing).
+    tex_base: int = 32
+    tex_grid: int = 64
     keep_prob: float = 1.0
     enc_channels: Tuple[int, int, int] = (8, 16, 16)
     res1_blocks: int = 10
@@ -57,28 +65,47 @@ class TextureFaceConfig:
     res3_blocks: int = 5
     base: int = 32
     new_size: int = 128
+    # Rematerialize each res block in the backward pass (jax.checkpoint) —
+    # same trade-off as ShaderConfig.remat; required for full-512 texture
+    # training on a 16 GB chip.
+    remat: bool = False
     # See ShaderConfig.scan_blocks (same trade-off).
     scan_blocks: bool = False
 
 
-def texture_decoder(m: Module, z: jnp.ndarray) -> jnp.ndarray:
-    """199-d texture code -> [B, 64, 64, 64, 4] 3D texture grid."""
+def texture_decoder(
+    m: Module, z: jnp.ndarray, tex_base: int = 32, tex_grid: int = 64
+) -> jnp.ndarray:
+    """Texture code -> [B, tex_grid, tex_grid, tex_grid, 4] 3D texture grid.
+
+    Defaults (32, 64) reproduce the reference exactly — FC -> 32^3x4 ->
+    deconv(4,s1) -> deconv(8,s2) -> conv(4,s1) -> 64^3x4, identical param
+    paths. Smaller tex_base adds stride-2 doublings (scopes e_tex_conv1,
+    e_tex_conv1_2, ...) so the output grid — and hence its physical
+    extent under resampling — stays 64^3."""
     b = z.shape[0]
+    g = tex_base
+    if tex_grid % g or (tex_grid // g) & (tex_grid // g - 1):
+        raise ValueError(f"tex_grid {tex_grid} must be tex_base {g} * 2^k")
+    doublings = (tex_grid // g).bit_length() - 1
+    if doublings < 1:
+        raise ValueError("tex_grid must be at least 2*tex_base")
     with m.scope("texture_encoder"):
         with m.scope("e_tex_fc1"):
-            x = fully_connected(m, z, 32 * 32 * 32 * 4, scope="fully_connected")
+            x = fully_connected(m, z, g * g * g * 4, scope="fully_connected")
             x = prelu(m, x)
-            x = x.reshape(b, 32, 32, 32, 4)
+            x = x.reshape(b, g, g, g, 4)
         with m.scope("e_tex_conv0"):
             x = conv3d_transpose(
                 m, x, 4, (4, 4, 4), (1, 1, 1), scope="conv3d_transpose"
             )
             x = prelu(m, x)
-        with m.scope("e_tex_conv1"):
-            x = conv3d_transpose(
-                m, x, 8, (4, 4, 4), (2, 2, 2), scope="conv3d_transpose"
-            )
-            x = prelu(m, x)
+        for d in range(doublings):
+            with m.scope("e_tex_conv1" if d == 0 else f"e_tex_conv1_{d + 1}"):
+                x = conv3d_transpose(
+                    m, x, 8, (4, 4, 4), (2, 2, 2), scope="conv3d_transpose"
+                )
+                x = prelu(m, x)
         with m.scope("e_tex_conv2"):
             x = conv3d(m, x, 4, (4, 4, 4), (1, 1, 1), scope="conv3d")
             x = prelu(m, x)
@@ -135,7 +162,7 @@ def texture_face_rendernet(
         shortcut = x
         x = res_block_stack(
             m, x, cfg.res1_blocks, c3, "res1_{}", ndim=3,
-            use_scan=cfg.scan_blocks,
+            use_scan=cfg.scan_blocks, remat=cfg.remat,
         )
         with m.scope("res1_skip"):
             x = conv3d(m, x, c3, (3, 3, 3), (1, 1, 1), scope="con1_3X3")
@@ -149,7 +176,7 @@ def texture_face_rendernet(
         shortcut = x
         x = res_block_stack(
             m, x, cfg.res2_blocks, nf, "res2_{}", ndim=2,
-            use_scan=cfg.scan_blocks,
+            use_scan=cfg.scan_blocks, remat=cfg.remat,
         )
         with m.scope("res2_skip"):
             x = conv2d(m, x, nf, (3, 3), (1, 1), scope="con1_3X3")
@@ -164,7 +191,7 @@ def texture_face_rendernet(
         shortcut = x
         x = res_block_stack(
             m, x, cfg.res3_blocks, b * 8, "res3_{}", ndim=2,
-            use_scan=cfg.scan_blocks,
+            use_scan=cfg.scan_blocks, remat=cfg.remat,
         )
         with m.scope("res3_skip"):
             x = conv2d(m, x, b * 8, (3, 3), (1, 1), scope="con1_3X3")
@@ -197,7 +224,10 @@ def texture_face_forward(
         train=train,
         dropout_rng=dropout_rng,
     )
-    tex_grid = texture_decoder(m, texture_code.astype(compute_dtype))
+    tex_grid = texture_decoder(
+        m, texture_code.astype(compute_dtype), tex_base=cfg.tex_base,
+        tex_grid=cfg.tex_grid,
+    )
     shape_cam = rotate_resample_to_camera(voxels, view_params, new_size=cfg.new_size)
     tex_cam = rotate_resample_to_camera(
         tex_grid.astype(jnp.float32), view_params, new_size=cfg.new_size
@@ -208,7 +238,10 @@ def texture_face_forward(
 
 def init_texture_face_params(rng: jax.Array, cfg: TextureFaceConfig) -> Params:
     m = Module(rng=rng)
-    tex = texture_decoder(m, jnp.zeros((1, cfg.texture_dim), jnp.float32))
+    tex = texture_decoder(
+        m, jnp.zeros((1, cfg.texture_dim), jnp.float32), tex_base=cfg.tex_base,
+        tex_grid=cfg.tex_grid,
+    )
     del tex
     dummy = jnp.zeros((1, 8, 8, cfg.new_size, 5), jnp.float32)
     texture_face_rendernet(m, dummy, cfg)

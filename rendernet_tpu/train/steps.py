@@ -259,7 +259,10 @@ def make_texture_train_step(
         normals = _as_f32_image(normals)
         crop_rng, drop_rng = jax.random.split(rng)
         m = Module(params=params, compute_dtype=cdt, train=True, dropout_rng=drop_rng)
-        tex_grid = texture_decoder(m, textures.astype(cdt)).astype(jnp.float32)
+        tex_grid = texture_decoder(
+            m, textures.astype(cdt), tex_base=model_cfg.tex_base,
+            tex_grid=model_cfg.tex_grid,
+        ).astype(jnp.float32)
         if patch_size == cfg.new_size:
             vox_c = _resample_full(voxels, poses, cfg)
             tex_c = _resample_full(tex_grid, poses, cfg)
