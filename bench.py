@@ -13,8 +13,12 @@ actually trains on after epoch 5, RenderNet_Shader.py:204-207); it was
 round 1's headline number under a mislabeled 512px name.
 
 The reference publishes no throughput numbers (BASELINE.md), so
-``vs_baseline`` divides by an ESTIMATED 2.0 frames/s budget for the TF 1.x
-single-GPU pipeline of its era — see ``extras.baseline_note``.
+``vs_baseline`` divides by a MEASURED denominator: the naive XLA port of
+the reference graph (fp32, exact 8-gather trilinear resample, plain XLA
+convs — ``benchmarks/naive_port_bench.py``) run on this same chip at the
+same full-512 configuration, recorded in
+``benchmarks/results/naive_port_r3.json``. That isolates exactly the
+TPU-first engineering; see ``extras.baseline_note``.
 
 Batch size auto-scales down if the device is small; values are normalized
 to frames (samples)/s/chip regardless.
@@ -103,7 +107,29 @@ def main() -> None:
     fps64, batch64, _ = run(64, env_batch)
     fps_full, batch_full, remat_full = run(128, env_batch)
 
-    baseline = 2.0  # ESTIMATED frames/s budget, see extras.baseline_note
+    # Measured denominator: the naive XLA port of the reference graph at
+    # the same full-512 configuration on this chip (fp32 + exact 8-gather
+    # resample + plain XLA convs; benchmarks/naive_port_bench.py).
+    naive_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "results", "naive_port_r3.json",
+    )
+    try:
+        with open(naive_path) as f:
+            naive = json.load(f)
+        baseline = naive["full512"]["frames_per_s"]
+        baseline_note = (
+            "measured naive XLA port of the reference graph (fp32, exact "
+            "8-gather resample, plain XLA convs) on this chip: "
+            "%.4g frames/s full-512 (%s)"
+            % (baseline, naive["date"])
+        )
+    except (OSError, KeyError, ValueError):
+        baseline = 2.0
+        baseline_note = (
+            "naive-port record missing; 2.0 frames/s is an estimated "
+            "budget for the reference's TF1.x single-GPU era"
+        )
     print(
         json.dumps(
             {
@@ -115,10 +141,7 @@ def main() -> None:
                 "extras": {
                     "patch64_curriculum_frames_per_s": round(fps64, 4),
                     "patch64_batch": batch64,
-                    "baseline_note": (
-                        "reference publishes no numbers; 2.0 frames/s is an "
-                        "estimated budget for its TF1.x single-GPU era"
-                    ),
+                    "baseline_note": baseline_note,
                 },
             }
         )
