@@ -4,7 +4,7 @@ One JSON line per measurement. Also times the full shader network fwd+bwd
 at the training patch size with the kernel on vs off — the end-to-end
 number that decides the default dispatch.
 
-Usage: python benchmarks/conv2d_kernel_bench.py [--sweep]
+Usage: python benchmarks/conv2d_kernel_bench.py [--sweep] [--patch N]
 """
 from __future__ import annotations
 
@@ -16,7 +16,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(sweep: bool = False, batch: int = 24):
+def main(sweep: bool = False, batch: int = 24, patch: int = 64):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -146,8 +146,8 @@ def main(sweep: bool = False, batch: int = 24):
 
     cfg = ShaderConfig()
     params = init_shader_params(jax.random.PRNGKey(0), cfg)
-    patch = jnp.asarray(
-        rng.random((batch, 64, 64, 128, 1)).astype(np.float32)
+    vox_patch = jnp.asarray(
+        rng.random((batch, patch, patch, 128, 1)).astype(np.float32)
     )
 
     def net(p, x):
@@ -171,13 +171,16 @@ def main(sweep: bool = False, batch: int = 24):
     for forced in (True, False):
         layers.PALLAS_CONV2D = forced
         measure(
-            f"network_fwd_bwd_patch64_wc2d_{'on' if forced else 'off'}",
+            f"network_fwd_bwd_patch{patch}_wc2d_{'on' if forced else 'off'}",
             gnet,
-            (params, patch),
+            (params, vox_patch),
             0.0 or 1,  # TF/s not meaningful here
             n=4,
         )
 
 
 if __name__ == "__main__":
-    main(sweep="--sweep" in sys.argv)
+    _patch = 64
+    if "--patch" in sys.argv:
+        _patch = int(sys.argv[sys.argv.index("--patch") + 1])
+    main(sweep="--sweep" in sys.argv, patch=_patch)
