@@ -38,10 +38,12 @@ TINY_ARCH = {
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--steps", type=int, default=8000)
     p.add_argument("--out", type=str, default="/tmp/rendernet_tiny_run")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--decay_steps", type=int, default=100_000)
+    p.add_argument("--decay_rate", type=float, default=0.96)
     p.add_argument("--save_assets", action="store_true",
                    help="copy the trained npz + arch json into assets/")
     args = p.parse_args()
@@ -61,7 +63,11 @@ def main():
     assets = sorted(glob.glob("/root/reference/binvox/*.binvox"))
     os.makedirs(args.out, exist_ok=True)
     img_res = 4 * TINY_ARCH["new_size"]
-    poses = [(az, th) for az in range(20, 380, 45) for th in (60, 90)]
+    # Dense pose grid (az step 20, four elevation rings) so interpolated
+    # held-out poses render near trained quality; theta 75 (elevation 15)
+    # is deliberately absent — it is the held-out ring the quality tests
+    # probe (tests/test_trained_golden.py).
+    poses = [(az, th) for az in range(10, 370, 20) for th in (45, 60, 90, 105)]
     print(f"dataset: {len(assets)} assets x {len(poses)} poses @ {img_res}px")
     tar, mdir = make_synthetic_shader_tar(
         os.path.join(args.out, "data"), assets, poses_deg=poses,
@@ -76,6 +82,8 @@ def main():
         img_res=img_res,
         new_size=TINY_ARCH["new_size"],
         e_eta=args.lr,
+        decay_steps=args.decay_steps,
+        decay_rate=args.decay_rate,
         curriculum_epochs=0,
         max_epochs=100000,
         sample_save=os.path.join(args.out, "run"),
