@@ -117,3 +117,68 @@ def test_trained_render_quality_on_heldout_pose(tiny_net):
     # committed artifact measures 0.0357 here (0.031-0.057 across the
     # held-out ring's azimuths); an untrained net scores ~0.3+
     assert l1 < 0.05, l1
+
+
+@pytest.mark.slow
+def test_pose_search_through_trained_net(tiny_net):
+    """Inverse rendering through the COMMITTED TRAINED renderer: the
+    coarse-to-fine pose search (the reference's recon mechanism,
+    Reconstruct_RenderNet_Face.py:458-537) must rank hypotheses by loss
+    and converge on the true pose when the frozen net is a real trained
+    model — the property random-net tests cannot exercise
+    (tests/test_recon.py checks the machinery; this checks the ranking)."""
+    import dataclasses
+    import math
+
+    import jax.numpy as jnp
+
+    from rendernet_tpu.io import load_binvox
+    from rendernet_tpu.models.shader import shader_forward
+    from rendernet_tpu.recon import ReconConfig, ReconModel, reconstruct
+
+    cfg, params = tiny_net
+    vox = load_binvox("/root/reference/binvox/chair.binvox").astype(np.float32)
+
+    rcfg = ReconConfig(
+        z_dim=4, batch_size=5, inner_steps=2, max_epochs=3,
+        new_size=cfg.new_size, pose_eta=0.002,
+        phi_mid0=270.0, phi_range0=60.0, theta_mid0=90.0, theta_range0=30.0,
+    )
+    vox_b = jnp.asarray(
+        np.broadcast_to(vox[None, :, :, :, None],
+                        (rcfg.batch_size,) + vox.shape + (1,))
+    )
+
+    def net_loss(model, latents, target, _cfg):
+        img = shader_forward(
+            params, vox_b[: latents.pose.shape[0]], latents.pose, cfg,
+            resample="exact",
+        )
+        return jnp.mean((img - target) ** 2, axis=(1, 2, 3))
+
+    true_pose = np.array(
+        [[math.radians(255.0), math.radians(8.0), 1.0]], np.float32
+    )
+    target1 = shader_forward(
+        params, vox_b[:1], jnp.asarray(true_pose), cfg, resample="exact"
+    )
+    target = jnp.tile(target1, (rcfg.batch_size, 1, 1, 1))
+
+    errs = []
+
+    def err_deg(pose_row):
+        d = (np.asarray(pose_row) - true_pose[0]) * 180.0 / math.pi
+        az = abs(float(d[0])) % 360.0
+        return min(az, 360.0 - az) + abs(float(d[1]))
+
+    reconstruct(
+        ReconModel(decoder={}, texture={}, renderer={}), target, rcfg,
+        callback=lambda e, l, f: errs.append(
+            err_deg(l.pose[int(np.argmin(np.asarray(f)))])
+        ),
+        loss_fn=net_loss,
+    )
+    # box corners are >= 15+7 deg off; ranking through the trained net +
+    # subdivision must land within 12 deg combined error.
+    assert errs[-1] <= errs[0], errs
+    assert errs[-1] < 12.0, errs
