@@ -285,6 +285,7 @@ def reconstruct(
     dump_every: Optional[int] = None,
     inner_callback=None,
     loss_fn=None,
+    initial: Optional[Latents] = None,
 ) -> Tuple[Latents, np.ndarray, np.ndarray]:
     """Full coarse-to-fine reconstruction driver.
 
@@ -313,7 +314,7 @@ def reconstruct(
         )
     if run is None:
         run = make_recon_step(model, cfg, scan_steps=chunk, loss_fn=loss_fn)
-    latents = initial_latents(cfg, seed)
+    latents = initial_latents(cfg, seed) if initial is None else initial
     phi_range, theta_range = cfg.phi_range0, cfg.theta_range0
     history = []
     curves = []
