@@ -44,8 +44,15 @@ def main() -> None:
     # Experiment knobs (defaults = the recorded metric's configuration).
     env_batch = int(os.environ.get("RENDERNET_BENCH_BATCH", "24"))
     env_scan = bool(int(os.environ.get("RENDERNET_BENCH_SCAN", "0")))
+    env_pallas2d = os.environ.get("RENDERNET_BENCH_PALLAS2D")
+    if env_pallas2d is not None:
+        from rendernet_tpu.nn import layers
+
+        layers.PALLAS_CONV2D = bool(int(env_pallas2d))
 
     rng = np.random.default_rng(0)
+
+    env_accum = int(os.environ.get("RENDERNET_BENCH_ACCUM", "1"))
 
     def build(batch, patch, remat):
         cfg = TrainConfig(
@@ -55,6 +62,7 @@ def main() -> None:
             compute_dtype="bfloat16",
             is_greyscale=True,
             e_eta=1e-5,
+            grad_accum_steps=env_accum,
         )
         model_cfg = ShaderConfig(remat=remat, scan_blocks=env_scan)
         state, tx = create_shader_state(jax.random.PRNGKey(0), model_cfg, cfg)

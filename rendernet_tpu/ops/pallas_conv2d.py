@@ -35,7 +35,14 @@ packed-depth):
     io-swapped kernel (exact for SAME/stride-1/odd, co%128==ci%128==0 keeps
     it in-envelope); weight grad = a sibling kernel accumulating
     ``mid^T @ gy`` into a pinned [3,3,C,bn] fp32 block across the (B, H)
-    grid. The padded input is the VJP residual (no re-pad in backward).
+    grid. The UNPADDED input is the VJP residual (the chain value that is
+    alive in the graph anyway) and the backward re-pads it: saving the
+    padded copy instead costs +H*W*B*C bytes PER CONV held to the
+    backward pass — at full-512 training (64^2 x 1024ch x batch 24,
+    20 res-stack convs) that is ~4 GB, the exact amount by which the
+    fused path exceeded HBM in round 2 (the "remote-compile HTTP 500"
+    was the compile server reporting 19.78G > 15.75G). A transient
+    re-pad in backward is one 201 MB copy that dies immediately.
     The epilogue backward (PReLU mask, bias reduce) is one fused XLA
     elementwise pass feeding both dgrad and wgrad.
   * The NHWC wrapper transposes in/out; ``res_block_stack`` amortizes the
@@ -427,6 +434,15 @@ def _wgrad(xp, gy, co):
     )(gy, *([xp] * (bh + 2)))
 
 
+def _repad(xh):
+    """Backward-pass re-pad behind an optimization barrier: a plain
+    ``_pad_hw(xh)`` here would CSE with the forward's pad of the same
+    array, resurrecting the very padded-residual liveness the unpadded
+    residual exists to avoid (the +4 GB at full-512 training). The
+    barrier makes the backward pad a distinct, transient op."""
+    return _pad_hw(jax.lax.optimization_barrier(xh))
+
+
 def _sum_hwn(x):
     """Reduce [H, W, B, co] -> [co] in fp32 (bias-style grads)."""
     return jnp.sum(x.astype(jnp.float32), axis=(0, 1, 2))
@@ -447,14 +463,13 @@ def wc_conv2d_hwnc(xh: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _wc_fwd(xh, w):
-    xp = _pad_hw(xh)
-    return _wc_conv2d_padded(xp, w, xh.dtype), (xp, w)
+    return _wc_conv2d_expr(xh, w), (xh, w)
 
 
 def _wc_bwd(res, gy):
-    xp, w = res
-    gx = _dgrad(gy, w, xp.dtype)
-    gw = _wgrad(xp, gy, w.shape[-1])
+    xh, w = res
+    gx = _dgrad(gy, w, xh.dtype)
+    gw = _wgrad(_repad(xh), gy, w.shape[-1])
     return gx, gw.astype(w.dtype)
 
 
@@ -474,18 +489,18 @@ def wc_conv2d_prelu_hwnc(xh, w, b, alpha):
 
 
 def _wc_prelu_fwd(xh, w, b, alpha):
-    xp = _pad_hw(xh)
     # emit_pre: the pre-activation z is the VJP residual (PReLU backward
     # needs its sign and its negative part for d/dalpha).
     y, z = _wc_conv2d_padded(
-        xp, w, xh.dtype, obufs=2, bias=b, alpha=alpha, act="prelu",
+        _pad_hw(xh), w, xh.dtype, obufs=2, bias=b, alpha=alpha, act="prelu",
         emit_pre=True,
     )
-    return y, (xp, w, alpha, z)
+    return y, (xh, w, alpha, z)
 
 
 def _wc_prelu_bwd(res, gy):
-    xp, w, alpha, z = res
+    xh, w, alpha, z = res
+    xp = _repad(xh)
     # One fused XLA elementwise pass: PReLU mask + d/dalpha + bias reduce.
     gz = jnp.where(z > 0, gy, alpha.astype(gy.dtype) * gy)
     galpha = jnp.sum(
@@ -511,14 +526,16 @@ def wc_conv2d_relu_hwnc(xh, w, b):
 
 
 def _wc_relu_fwd(xh, w, b):
-    xp = _pad_hw(xh)
-    y = _wc_conv2d_padded(xp, w, xh.dtype, obufs=1, bias=b, act="relu")
+    y = _wc_conv2d_padded(
+        _pad_hw(xh), w, xh.dtype, obufs=1, bias=b, act="relu"
+    )
     # y > 0 iff z > 0 (ReLU), so the primal output doubles as the mask.
-    return y, (xp, w, y)
+    return y, (xh, w, y)
 
 
 def _wc_relu_bwd(res, gy):
-    xp, w, y = res
+    xh, w, y = res
+    xp = _repad(xh)
     gz = jnp.where(y > 0, gy, jnp.zeros_like(gy))
     gb = _sum_hwn(gz)
     gx = _dgrad(gz, w, xp.dtype)
@@ -540,15 +557,16 @@ def wc_conv2d_res_hwnc(xh, w, b, res):
 
 
 def _wc_res_fwd(xh, w, b, res):
-    xp = _pad_hw(xh)
-    y = _wc_conv2d_padded(xp, w, xh.dtype, obufs=2, bias=b, res=res)
-    return y, (xp, w)
+    y = _wc_conv2d_padded(
+        _pad_hw(xh), w, xh.dtype, obufs=2, bias=b, res=res
+    )
+    return y, (xh, w)
 
 
 def _wc_res_bwd(resids, gy):
-    xp, w = resids
-    gx = _dgrad(gy, w, xp.dtype)
-    gw = _wgrad(xp, gy, w.shape[-1])
+    xh, w = resids
+    gx = _dgrad(gy, w, xh.dtype)
+    gw = _wgrad(_repad(xh), gy, w.shape[-1])
     return gx, gw.astype(w.dtype), _sum_hwn(gy).astype(gy.dtype), gy
 
 
