@@ -15,6 +15,10 @@ OOM fallback: remat, then batch halving — reported in the output.
 from __future__ import annotations
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 

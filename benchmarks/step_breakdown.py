@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(patch: int = 64, batch: int = 24, remat: bool = False,
-         scan: bool = False):
+         scan: bool = False, only: str = ''):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -79,27 +79,40 @@ def main(patch: int = 64, batch: int = 24, remat: bool = False,
             sync(out)
         ms = (time.perf_counter() - t0) / n * 1000
         print(json.dumps({"bench": name, "ms": round(ms, 3)}), flush=True)
+        del out, jitted
+        import gc
+
+        gc.collect()
         return ms
 
     cdt = jnp.bfloat16
 
-    # 1. full train step (the bench.py measurement)
-    step = make_shader_train_step(model_cfg, cfg, tx, patch_size=patch)
-    state2 = jax.tree.map(lambda x: x, state)
-    out = step(state2, voxels, images, poses, key)
-    float(out[1])
-    t0 = time.perf_counter()
-    n = 8
-    for _ in range(n):
-        out = step(out[0], voxels, images, poses, key)
-    float(out[1])
-    print(json.dumps({"bench": "full_train_step",
-                      "ms": round((time.perf_counter() - t0) / n * 1000, 3)}),
-          flush=True)
+    def want(name):
+        return not only or only == name
 
-    # The full step donated `state`; rebuild fresh (undeleted) arrays for
-    # the component measurements.
-    state, tx = create_shader_state(jax.random.PRNGKey(0), model_cfg, cfg)
+    # 1. full train step (the bench.py measurement)
+    if want("step"):
+      step = make_shader_train_step(model_cfg, cfg, tx, patch_size=patch)
+      state2 = jax.tree.map(lambda x: x, state)
+      out = step(state2, voxels, images, poses, key)
+      float(out[1])
+      t0 = time.perf_counter()
+      n = 8
+      for _ in range(n):
+          out = step(out[0], voxels, images, poses, key)
+      float(out[1])
+      print(json.dumps({"bench": "full_train_step",
+                        "ms": round((time.perf_counter() - t0) / n * 1000, 3)}),
+            flush=True)
+      # The full step donated `state`; drop every buffer the full-step
+      # measurement still holds (at patch 128 the optimizer state + live
+      # activations of TWO resident executables exceed HBM — use --only
+      # to run each component in its own process when that still OOMs).
+      import gc
+
+      del step, out, state2
+      gc.collect()
+      state, tx = create_shader_state(jax.random.PRNGKey(0), model_cfg, cfg)
 
     # 2. value_and_grad of the loss (no optimizer)
 
@@ -120,9 +133,10 @@ def main(patch: int = 64, batch: int = 24, remat: bool = False,
         pred = shader_rendernet(m, vox_c.astype(cdt), model_cfg)
         return shader_loss_from_images(pred, img_c, True)
 
-    measure("loss_fwd_bwd",
-            lambda p, v, i, q, k: jax.value_and_grad(loss_fn)(p, v, i, q, k),
-            (state.params, voxels, images, poses, key))
+    if want("loss"):
+        measure("loss_fwd_bwd",
+                lambda p, v, i, q, k: jax.value_and_grad(loss_fn)(p, v, i, q, k),
+                (state.params, voxels, images, poses, key))
 
     # 3. resample+crop fwd+bwd alone (grads to voxels+poses)
     def res_loss(v, q, k):
@@ -131,9 +145,10 @@ def main(patch: int = 64, batch: int = 24, remat: bool = False,
             v, q, offsets, patch, new_size=cfg.new_size, compute_dtype=cdt)
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
-    measure("resample_crop_fwd_bwd",
-            lambda v, q, k: jax.grad(res_loss, argnums=(0, 1))(v, q, k),
-            (voxels, poses, key))
+    if want("resample"):
+        measure("resample_crop_fwd_bwd",
+                lambda v, q, k: jax.grad(res_loss, argnums=(0, 1))(v, q, k),
+                (voxels, poses, key))
 
     # 4. network fwd+bwd alone on a fixed camera patch
     cam = jnp.asarray(
@@ -145,8 +160,10 @@ def main(patch: int = 64, batch: int = 24, remat: bool = False,
         pred = shader_rendernet(m, x.astype(cdt), model_cfg)
         return jnp.sum(pred.astype(jnp.float32) ** 2)
 
-    measure("network_fwd_bwd",
-            lambda p, x, k: jax.grad(net_loss)(p, x, k), (state.params, cam, key))
+    if want("network"):
+        measure("network_fwd_bwd",
+                lambda p, x, k: jax.grad(net_loss)(p, x, k),
+                (state.params, cam, key))
 
     # 4b. network fwd+bwd through the BCE loss (adds sigmoid/log path)
     img_c = jnp.asarray(
@@ -157,9 +174,10 @@ def main(patch: int = 64, batch: int = 24, remat: bool = False,
         pred = shader_rendernet(m, x.astype(cdt), model_cfg)
         return shader_loss_from_images(pred, t, True)
 
-    measure("network_bce_fwd_bwd",
-            lambda p, x, t, k: jax.grad(net_bce)(p, x, t, k),
-            (state.params, cam, img_c, key))
+    if want("network_bce"):
+        measure("network_bce_fwd_bwd",
+                lambda p, x, t, k: jax.grad(net_bce)(p, x, t, k),
+                (state.params, cam, img_c, key))
 
     # 5. optimizer update alone (zeros stand in for grads — Adam's cost is
     # value-independent; real grads here would OOM next to the live state)
@@ -171,14 +189,19 @@ def main(patch: int = 64, batch: int = 24, remat: bool = False,
 
         return optax.apply_updates(params, updates), opt_state
 
-    measure("optimizer_update", opt_step, (grads, state.opt_state, state.params))
+    if want("optimizer"):
+        measure("optimizer_update", opt_step,
+                (grads, state.opt_state, state.params))
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--patch", type=int, default=64)
+    ap.add_argument("--only", type=str, default="",
+                    help="run one measurement: step|loss|resample|network|"
+                         "network_bce|optimizer (per-process isolation)")
     ap.add_argument("--batch", type=int, default=24)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--scan", action="store_true")
     a = ap.parse_args()
-    main(a.patch, a.batch, a.remat, a.scan)
+    main(a.patch, a.batch, a.remat, a.scan, a.only)

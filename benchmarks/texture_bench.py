@@ -14,7 +14,11 @@ One JSON line; record into benchmarks/results/texture_bench_r3.json.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(patch: int, batch: int):

@@ -58,6 +58,12 @@ class ShaderConfig:
     # trades ~1/3 more FLOPs for O(n_blocks) less activation memory —
     # enables full-resolution (128-patch) training and larger batches.
     remat: bool = False
+    # Rematerialize ONLY the 3D res stack (res1). Its activations are
+    # cheap to recompute (32-ch convs) but large in aggregate (~2 GB at
+    # patch 128, batch 24); freeing them relieves the HBM pressure that
+    # otherwise makes XLA auto-rematerialize ~100 ms of 1024-channel 2D
+    # convs in the full-512 step. Subsumed by ``remat``.
+    remat_3d: bool = False
     # Run each res stack as one lax.scan over stacked per-block params
     # (identical math and param naming, ~5x faster XLA compile, and with
     # remat one live block instead of n in the backward). Default OFF for
@@ -89,7 +95,7 @@ def shader_rendernet(m: Module, vox: jnp.ndarray, cfg: ShaderConfig) -> jnp.ndar
         shortcut = x
         x = res_block_stack(
             m, x, cfg.res1_blocks, c3, "res1_{}", ndim=3,
-            use_scan=cfg.scan_blocks, remat=cfg.remat,
+            use_scan=cfg.scan_blocks, remat=cfg.remat or cfg.remat_3d,
         )
         with m.scope("res1_skip"):
             x = conv3d(m, x, c3, (3, 3, 3), (1, 1, 1), scope="con1_3X3")
