@@ -45,6 +45,12 @@ def main():
                    choices=("float32", "bfloat16"))
     p.add_argument("--json", type=str, default="",
                    help="also write the results JSON here")
+    p.add_argument("--scan-chunk", type=int, default=0,
+                   help="run the inner loop as chunked scans of this many "
+                        "steps (must divide --inner-steps; smaller chunks "
+                        "compile a 4x smaller program — the monolithic "
+                        "200-step scan at reference scale has crashed the "
+                        "tunneled TPU worker)")
     args = p.parse_args()
 
     import jax
@@ -104,13 +110,14 @@ def main():
     save_image(to_uint8(np.asarray(target[0]), 255.0),
                os.path.join(args.out, "target.png"))
 
-    run = make_recon_step(model, cfg, scan_steps=cfg.inner_steps)
+    chunk = args.scan_chunk or cfg.inner_steps
+    run = make_recon_step(model, cfg, scan_steps=chunk)
 
     def pose_err_deg(pose_row):
         """(azimuth err, elevation err) in degrees; azimuth wraps mod 360."""
         d = (np.asarray(pose_row) - true_pose[0]) * 180.0 / math.pi
-        az = abs(d[0]) % 360.0
-        return min(az, 360.0 - az), abs(d[1])
+        az = abs(float(d[0])) % 360.0
+        return min(az, 360.0 - az), abs(float(d[1]))
 
     epochs_log = []
 
@@ -130,8 +137,10 @@ def main():
 
     t0 = time.time()
     target_batch = jnp.tile(target, (cfg.batch_size, 1, 1, 1))
-    latents, history, curves = reconstruct(model, target_batch, cfg,
-                                           callback=log, run=run)
+    latents, history, curves = reconstruct(
+        model, target_batch, cfg, callback=log, run=run,
+        dump_every=args.scan_chunk or None,
+    )
     wall = time.time() - t0
     best = int(np.argmin(np.asarray(history[-1])))
     recovered = recon_forward(model, latents, cfg)[0]
