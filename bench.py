@@ -49,6 +49,11 @@ def main() -> None:
         from rendernet_tpu.nn import layers
 
         layers.PALLAS_CONV2D = bool(int(env_pallas2d))
+    env_prelu_pre = os.environ.get("RENDERNET_BENCH_PRELU_PRE")
+    if env_prelu_pre is not None:
+        from rendernet_tpu.ops import pallas_conv2d
+
+        pallas_conv2d.PRELU_SAVE_PRE = bool(int(env_prelu_pre))
 
     rng = np.random.default_rng(0)
 

@@ -95,6 +95,14 @@ def _divisors_desc(n: int):
 # Benchmark hook: force a specific (bn, bh, bb) tiling.
 TILE_OVERRIDE = None
 
+# PReLU VJP residual strategy. True (default): the fwd kernel emits the
+# pre-activation z as a second output — cheapest backward, but z is an
+# EXTRA [H,W,B,C] residual per block (+2 GB at full-512 training, which
+# is what forces the remat fallback there). False: fwd emits only y; the
+# backward RECOMPUTES z with one plain conv+bias kernel call per block
+# (~9.3 ms at 64^2x1024) — trading FLOPs for exactly that headroom.
+PRELU_SAVE_PRE = True
+
 
 def _vmem_bytes(bh, bb, bn, wd, cch, xbytes, obufs=1):
     """Working set; ``obufs`` counts output-sized streams (the plain conv
@@ -489,18 +497,27 @@ def wc_conv2d_prelu_hwnc(xh, w, b, alpha):
 
 
 def _wc_prelu_fwd(xh, w, b, alpha):
-    # emit_pre: the pre-activation z is the VJP residual (PReLU backward
-    # needs its sign and its negative part for d/dalpha).
-    y, z = _wc_conv2d_padded(
-        _pad_hw(xh), w, xh.dtype, obufs=2, bias=b, alpha=alpha, act="prelu",
-        emit_pre=True,
+    if PRELU_SAVE_PRE:
+        # emit_pre: the pre-activation z is the VJP residual (PReLU
+        # backward needs its sign and its negative part for d/dalpha).
+        y, z = _wc_conv2d_padded(
+            _pad_hw(xh), w, xh.dtype, obufs=2, bias=b, alpha=alpha,
+            act="prelu", emit_pre=True,
+        )
+        return y, (xh, w, b, alpha, z)
+    y = _wc_conv2d_padded(
+        _pad_hw(xh), w, xh.dtype, obufs=1, bias=b, alpha=alpha, act="prelu"
     )
-    return y, (xh, w, alpha, z)
+    return y, (xh, w, b, alpha, None)
 
 
 def _wc_prelu_bwd(res, gy):
-    xh, w, alpha, z = res
+    xh, w, b, alpha, z = res
     xp = _repad(xh)
+    if z is None:
+        # Recompute the pre-activation with one plain conv+bias call —
+        # see PRELU_SAVE_PRE.
+        z = _wc_conv2d_padded(xp, w, gy.dtype, obufs=1, bias=b)
     # One fused XLA elementwise pass: PReLU mask + d/dalpha + bias reduce.
     gz = jnp.where(z > 0, gy, alpha.astype(gy.dtype) * gy)
     galpha = jnp.sum(
