@@ -236,3 +236,32 @@ def test_wc_conv2d_production_tiling_class(rng):
     gx_r, gw_r = jax.grad(loss(plain), (0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_r), atol=2e-4)
     np.testing.assert_allclose(np.asarray(gw_k), np.asarray(gw_r), atol=2e-3)
+
+
+def test_prelu_recompute_vjp_matches_save_pre(rng):
+    """PRELU_SAVE_PRE=False (backward recomputes the pre-activation with a
+    plain conv+bias kernel call) must produce bit-identical gradients to
+    the default save-pre VJP for every argument."""
+    from rendernet_tpu.ops import pallas_conv2d as pc
+
+    xh = jnp.asarray(
+        rng.standard_normal((8, 8, 6, 128)).astype(np.float32)
+    )  # HWNC
+    w = jnp.asarray(
+        (rng.standard_normal((3, 3, 128, 128)) * 0.05).astype(np.float32)
+    )
+    b = jnp.asarray((rng.standard_normal(128) * 0.1).astype(np.float32))
+    al = jnp.asarray((rng.standard_normal(128) * 0.2).astype(np.float32))
+
+    def loss(xh, w, b, al):
+        return jnp.sum(jnp.sin(pc.wc_conv2d_prelu_hwnc(xh, w, b, al)))
+
+    try:
+        pc.PRELU_SAVE_PRE = True
+        g1 = jax.grad(loss, argnums=(0, 1, 2, 3))(xh, w, b, al)
+        pc.PRELU_SAVE_PRE = False
+        g2 = jax.grad(loss, argnums=(0, 1, 2, 3))(xh, w, b, al)
+    finally:
+        pc.PRELU_SAVE_PRE = True
+    for a, c, nm in zip(g1, g2, ("x", "w", "b", "alpha")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c), err_msg=nm)
