@@ -201,3 +201,48 @@ def test_shader_golden_regression():
     golden = np.load(os.path.join(os.path.dirname(__file__), "golden",
                                   "shader_tiny_seed42.npy"))
     np.testing.assert_allclose(out, golden, atol=1e-5)
+
+
+def test_remat_3d_matches_baseline():
+    """ShaderConfig.remat_3d (checkpoint only the 3D res stack) is
+    semantics-preserving: identical forward output and parameter
+    gradients to the no-remat build."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rendernet_tpu.models.shader import (
+        ShaderConfig,
+        init_shader_params,
+        shader_rendernet,
+    )
+    from rendernet_tpu.nn.layers import Module
+
+    base = ShaderConfig(
+        enc_channels=(4, 4, 4), res1_blocks=2, res2_blocks=1, res3_blocks=1,
+        base=4, new_size=16,
+    )
+    params = init_shader_params(jax.random.PRNGKey(0), base)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 16, 16, 16, 1)).astype(np.float32))
+
+    def loss(cfg):
+        def f(p):
+            m = Module(params=p)
+            return jnp.sum(shader_rendernet(m, x, cfg) ** 2)
+
+        return f
+
+    y0, g0 = jax.value_and_grad(loss(base))(params)
+    y1, g1 = jax.value_and_grad(loss(dataclasses.replace(base, remat_3d=True)))(
+        params
+    )
+    assert float(jnp.abs(y0 - y1)) == 0.0
+    for k in g0:
+        # recompute may reassociate the accumulation: last-ulp tolerance
+        np.testing.assert_allclose(
+            np.asarray(g0[k]), np.asarray(g1[k]), rtol=1e-5, atol=1e-6,
+            err_msg=k,
+        )
