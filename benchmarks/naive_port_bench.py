@@ -35,6 +35,7 @@ def measure(patch: int, batch: int):
     layers.PALLAS_CONV3D = False  # plain XLA convs — the naive port
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)
+    last_err = None
     while True:
         for remat in (False, True):
             try:
@@ -61,7 +62,17 @@ def measure(patch: int, batch: int):
                 float(loss)
                 break
             except Exception as e:
-                last_err = e
+                # Only memory exhaustion may degrade the measured config;
+                # anything else (compile-server hiccup, bad arg) fails loudly
+                # so the committed denominator can't silently record a wrong
+                # configuration.
+                msg = f"{type(e).__name__}: {e}"
+                if not any(pat in msg for pat in (
+                    "RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
+                    "OOM", "Ran out of memory", "exceeds the limit",
+                )):
+                    raise
+                last_err = msg
                 if remat and batch <= 1:
                     raise
         else:
@@ -74,13 +85,16 @@ def measure(patch: int, batch: int):
         state, loss = step(state, voxels, images, poses, key)
     float(loss)
     dt = time.perf_counter() - t0
-    return {
+    out = {
         "patch": patch,
         "batch": batch,
         "remat": remat,
         "s_per_step": round(dt / n_steps, 4),
         "frames_per_s": round(batch * n_steps / dt, 4),
     }
+    if last_err is not None:
+        out["fallback_err"] = last_err[:300]  # why remat/batch degraded
+    return out
 
 
 def main():

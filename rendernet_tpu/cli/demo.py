@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import math
 import os
-import sys
 
 import numpy as np
 
@@ -55,8 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frozen StableHLO artifact from `convert freeze` "
                         "(no model code or weights needed — the reference's "
                         "frozen-.pb demo path, RenderNet_demo.py:23-30)")
-    p.add_argument("--out_channels", type=int, default=3,
-                   help="shader head channels (3 = normal-map demo net)")
+    # default=None so explicitness is detectable via argparse itself (a
+    # raw-argv scan misses prefix abbreviations like "--out_chan 4"); the
+    # effective default of 3 is applied after the --arch conflict check.
+    p.add_argument("--out_channels", type=int, default=None,
+                   help="shader head channels (3 = normal-map demo net; "
+                        "default 3)")
     p.add_argument("--arch", type=str, default="",
                    help="ShaderConfig overrides as a JSON file or inline "
                         "JSON (e.g. '{\"base\": 4, \"new_size\": 64}') — "
@@ -96,16 +99,14 @@ def main(argv=None):
         bad = set(arch) - {f.name for f in dataclasses.fields(ShaderConfig)}
         if bad:
             raise SystemExit(f"--arch: unknown ShaderConfig fields {sorted(bad)}")
-        raw_argv = argv if argv is not None else sys.argv[1:]
-        explicit = any(a == "--out_channels" or a.startswith("--out_channels=")
-                       for a in raw_argv)
-        if ("out_channels" in arch and explicit
+        if ("out_channels" in arch and args.out_channels is not None
                 and arch["out_channels"] != args.out_channels):
             raise SystemExit(
                 f"--out_channels {args.out_channels} conflicts with the --arch "
                 f"file's out_channels={arch['out_channels']}; drop one"
             )
-    cfg = ShaderConfig(**{"out_channels": args.out_channels, **arch})
+    out_channels = 3 if args.out_channels is None else args.out_channels
+    cfg = ShaderConfig(**{"out_channels": out_channels, **arch})
     if args.frozen:
         from rendernet_tpu.compat import load_frozen
 

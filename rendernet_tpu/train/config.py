@@ -85,10 +85,27 @@ class TrainConfig:
     # directory checkpointed with the other setting will not auto-resume;
     # start a fresh run dir (params migrate via params_latest.npz).
     skip_nonfinite_updates: int = 0
+    # Adam moment-buffer storage dtype ("float32" | "bfloat16"). bf16
+    # halves optimizer-state HBM (~0.95 GB at the 237 M-param shader net)
+    # — an opt-in activation-memory lever for the full-512 step; update
+    # arithmetic stays fp32 (train.optim.scale_by_adam_moments). Gated by
+    # the training-quality A/B in benchmarks/moments_quality_ab.py.
+    # NOTE: toggling changes the optimizer-state pytree (same checkpoint
+    # caveat as skip_nonfinite_updates).
+    moment_dtype: str = "float32"
+    # Cross-device gradient all-reduce dtype ("float32" | "bfloat16").
+    # bf16 halves the per-step gradient collective (~1.66 GB -> 0.83 GB
+    # for the shader net) — the comms fallback for deployments where the
+    # XLA scheduler does not overlap the all-reduce into backward compute
+    # (benchmarks/overlap_check.py measures whether it does). Implemented
+    # via shard_map + pmean in train/steps.py; requires the train step to
+    # be built with its mesh. fp32 optimizer math is unchanged (the
+    # pmean'd bf16 gradient is cast back before Adam).
+    allreduce_dtype: str = "float32"
     # Cache device-resident batches across epochs (small, deterministic
     # datasets only — eliminates repeat host->device transfers entirely).
-    # At most ``cache_chunks_max_batches`` batches are kept (checked against
-    # device memory at mesh setup); past the cap, later batches stream
+    # At most ``cache_chunks_max_batches`` batches are kept — a fixed count
+    # bound, not a memory-aware check; past the cap, later batches stream
     # normally — a real-dataset run cannot OOM the device through the cache.
     cache_chunks: bool = False
     cache_chunks_max_batches: int = 256
@@ -150,6 +167,16 @@ class TrainConfig:
             )
         if not 0.0 < self.keep_prob <= 1.0:
             raise ValueError("keep_prob must be in (0, 1]")
+        if self.moment_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"moment_dtype must be 'float32' or 'bfloat16', got "
+                f"{self.moment_dtype!r}"
+            )
+        if self.allreduce_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"allreduce_dtype must be 'float32' or 'bfloat16', got "
+                f"{self.allreduce_dtype!r}"
+            )
 
     def to_json(self, path: str) -> None:
         """Snapshot the config into the run dir (provenance habit of

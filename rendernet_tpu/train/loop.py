@@ -213,8 +213,10 @@ class _RunDir:
         if self.tb is not None:
             step = int(kv.get("step", kv.get("epoch", 0) or 0))
             for k, v in kv.items():
-                if k not in ("step", "epoch", "event") and isinstance(
-                    v, (int, float)
+                if (
+                    k not in ("step", "epoch", "event")
+                    and isinstance(v, (int, float))
+                    and not isinstance(v, bool)
                 ):
                     self.tb.scalar(k, float(v), step)
             self.tb.flush()
@@ -261,7 +263,9 @@ def train_shader(
     for epoch in range(cfg.max_epochs):
         patch = cfg.patch_size_for_epoch(epoch)
         if patch not in steps:
-            steps[patch] = make_shader_train_step(model_cfg, cfg, tx, patch)
+            steps[patch] = make_shader_train_step(
+                model_cfg, cfg, tx, patch, mesh=mesh
+            )
         step_fn = steps[patch]
         local_bs, pidx, pcount = process_shard(cfg.batch_size)
         loader = data_loader(
@@ -388,7 +392,9 @@ def train_shader(
                 l1_sum = float(np.sum(totals[..., 0]))
                 l1_n = int(np.sum(totals[..., 1]))
             if l1_n:
-                run.log(epoch=epoch, valid_l1=l1_sum / l1_n)
+                # step= keeps the TB mirror's x-axis consistent with the
+                # train-loss scalars (both in global steps, not epochs).
+                run.log(step=global_step, epoch=epoch, valid_l1=l1_sum / l1_n)
     save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state))
     save_params_npz(os.path.join(run.root, "params_final.npz"),
                     jax.tree.map(np.asarray, state.params))
@@ -419,11 +425,15 @@ def train_texture(
     step_key = jax.random.PRNGKey(cfg.seed + 1)
     global_step = int(state.step)
     last_ckpt = time.time()
+    chunk_cache = {}  # (chunk, batch) -> device arrays, when cfg.cache_chunks
+    cache_cap_logged = False
 
     for epoch in range(cfg.max_epochs):
         patch = cfg.patch_size_for_epoch(epoch)
         if patch not in steps:
-            steps[patch] = make_texture_train_step(model_cfg, cfg, tx, patch)
+            steps[patch] = make_texture_train_step(
+                model_cfg, cfg, tx, patch, mesh=mesh
+            )
         step_fn = steps[patch]
         local_bs, pidx, pcount = process_shard(cfg.batch_size)
         loader = data_loader_image_texture_normal_face(
@@ -438,23 +448,39 @@ def train_texture(
             shard=(pidx, pcount) if pcount > 1 else None,
         )
         loader = prefetch(loader, cfg.prefetch_chunks)
-        for images, normals, voxels, textures, poses, names in loader:
+        for chunk_idx, (images, normals, voxels, textures, poses, names) in (
+            enumerate(loader)
+        ):
             _check_pose_scales(poses, cfg)
-            images_u8 = np.clip(images, 0, 255).astype(np.uint8)
-            normals_u8 = np.clip(normals, 0, 255).astype(np.uint8)
-            voxels_u8 = voxels.astype(np.uint8)
             n_batches = len(images) // local_bs
+            images_u8 = normals_u8 = voxels_u8 = None
             for i in range(n_batches):
-                sl = slice(i * local_bs, (i + 1) * local_bs)
-                batch = (
-                    jnp.asarray(voxels_u8[sl]),
-                    jnp.asarray(images_u8[sl]),
-                    jnp.asarray(normals_u8[sl]),
-                    jnp.asarray(textures[sl]),
-                    jnp.asarray(poses[sl]),
-                )
-                if mesh is not None:
-                    batch = shard_batch(mesh, batch)
+                if cfg.cache_chunks and (chunk_idx, i) in chunk_cache:
+                    batch = chunk_cache[(chunk_idx, i)]
+                else:
+                    if images_u8 is None:
+                        images_u8 = np.clip(images, 0, 255).astype(np.uint8)
+                        normals_u8 = np.clip(normals, 0, 255).astype(np.uint8)
+                        voxels_u8 = voxels.astype(np.uint8)
+                    sl = slice(i * local_bs, (i + 1) * local_bs)
+                    batch = (
+                        jnp.asarray(voxels_u8[sl]),
+                        jnp.asarray(images_u8[sl]),
+                        jnp.asarray(normals_u8[sl]),
+                        jnp.asarray(textures[sl]),
+                        jnp.asarray(poses[sl]),
+                    )
+                    if mesh is not None:
+                        batch = shard_batch(mesh, batch)
+                    if cfg.cache_chunks:
+                        # Bounded cache (see train_shader): past the cap,
+                        # stream — a real dataset cannot OOM the device.
+                        if len(chunk_cache) < cfg.cache_chunks_max_batches:
+                            chunk_cache[(chunk_idx, i)] = batch
+                        elif not cache_cap_logged:
+                            cache_cap_logged = True
+                            run.log(event="cache_chunks_cap",
+                                    cached_batches=cfg.cache_chunks_max_batches)
                 _profile_window(cfg, global_step)
                 state, loss = step_fn(state, *batch, step_key)
                 global_step += 1
