@@ -4,8 +4,17 @@ The reference is single-GPU; here scaling is first-class: a
 ``jax.sharding.Mesh`` with a ``('data', 'model')`` axis space, batches
 sharded over 'data', parameters replicated, and gradient all-reduce emitted
 by XLA as ICI collectives when the jitted step consumes sharded batches with
-replicated params. No hand-written collectives needed at this model scale
-(≈20-40M params — the all-reduce is tiny; efficiency hinges on step overlap).
+replicated params. No hand-written collectives are needed, but the
+all-reduce is NOT tiny: the shader net measures 237 M params, a ~1.66 GB
+fp32 gradient all-reduce per step (benchmarks/results/scaling_model_r3.json).
+Within a slice that rides ICI and stays <2% of the step even unoverlapped;
+across hosts it crosses DCN once per slice (hybrid mesh below) where the
+zero-overlap bound on the short patch-64 step is ~80% — so efficiency there
+rests on XLA's latency-hiding scheduler overlapping the all-reduce into the
+backward pass (evidence: benchmarks/overlap_check.py inspects the compiled
+HLO for async all-reduce-start/done spans), with bf16 gradient all-reduce
+(``TrainConfig.allreduce_dtype``) as the measured fallback that halves
+t_comm if a deployment's scheduler does not overlap.
 
 Multi-host: ``initialize_multihost`` brings up the jax.distributed runtime
 (coordinator handshake), ``make_hybrid_mesh`` lays the data axis out

@@ -162,8 +162,42 @@ def create_shader_state(
 
     params = init_shader_params(rng, model_cfg)
     tx = make_optimizer(cfg.e_eta, cfg.decay_steps, cfg.decay_rate,
-                        skip_nonfinite=cfg.skip_nonfinite_updates)
+                        skip_nonfinite=cfg.skip_nonfinite_updates,
+                        moment_dtype=cfg.moment_dtype)
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+def _use_bf16_allreduce(cfg: TrainConfig, mesh) -> bool:
+    return (
+        cfg.allreduce_dtype == "bfloat16"
+        and mesh is not None
+        and mesh.shape.get("data", 1) > 1
+    )
+
+
+def _shard_map_value_and_grad(vg_local, mesh, n_batch_args: int):
+    """Wrap a per-shard (params, *batch, rng) -> (loss, grads) function in a
+    shard_map that all-reduces the GRADIENTS IN BF16 over the 'data' axis
+    (halves gradient-collective bytes — ~1.66 GB -> 0.83 GB for the shader
+    net, the comms fallback documented in train/distributed.py). Loss is
+    pmean'd in fp32. Params/rng replicated, batch sharded on axis 0; the
+    pmean of equal-size shard-mean losses/grads reproduces the global mean.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def wrapped(params, *batch_and_rng):
+        loss, grads = vg_local(params, *batch_and_rng)
+        grads = jax.tree.map(lambda g: g.astype(jnp.bfloat16), grads)
+        grads = jax.lax.pmean(grads, "data")
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        loss = jax.lax.pmean(loss.astype(jnp.float32), "data")
+        return loss, grads
+
+    in_specs = (P(),) + (P("data"),) * n_batch_args + (P(),)
+    return shard_map(
+        wrapped, mesh=mesh, in_specs=in_specs, out_specs=(P(), P())
+    )
 
 
 def make_shader_train_step(
@@ -171,19 +205,33 @@ def make_shader_train_step(
     cfg: TrainConfig,
     tx: optax.GradientTransformation,
     patch_size: int,
+    mesh=None,
 ):
     """Build the jitted training step for one patch size.
 
     step(state, voxels[B,64,64,64,1], images[B,512,512,C] in [0,1],
          poses[B,3], rng) -> (state, loss)
+
+    ``mesh`` is only needed for ``cfg.allreduce_dtype="bfloat16"``: the
+    gradient computation then runs under shard_map so the cross-device
+    gradient all-reduce happens in bf16 (half the collective bytes; the
+    optimizer update stays fp32 on the pmean'd result). The default path
+    leaves sharding to XLA propagation (fp32 all-reduce).
     """
     cdt = _dtype(cfg.compute_dtype)
     greyscale = cfg.is_greyscale
+    bf16_ar = _use_bf16_allreduce(cfg, mesh)
 
     def loss_fn(params, voxels, images, poses, rng):
         voxels = _as_f32(voxels)
         images = _as_f32_image(images)
         crop_rng, drop_rng = jax.random.split(rng)
+        if bf16_ar:
+            # decorrelate dropout across data shards (crop offsets stay
+            # shared — one crop per global batch, like the jit path)
+            drop_rng = jax.random.fold_in(
+                drop_rng, jax.lax.axis_index("data")
+            )
         if patch_size == cfg.new_size:
             vox_c = _resample_full(voxels, poses, cfg)
             img_c = images
@@ -199,17 +247,22 @@ def make_shader_train_step(
 
     accum = cfg.grad_accum_steps
 
+    def vg_local(params, voxels, images, poses, rng):
+        if accum > 1:
+            return _accumulated_value_and_grad(
+                lambda p, v, i, q: loss_fn(p, v, i, q, rng),
+                params, (voxels, images, poses), accum,
+            )
+        return jax.value_and_grad(loss_fn)(params, voxels, images, poses, rng)
+
     def step(state: TrainState, voxels, images, poses, rng):
         rng = jax.random.fold_in(rng, state.step)
-        if accum > 1:
-            loss, grads = _accumulated_value_and_grad(
-                lambda p, v, i, q: loss_fn(p, v, i, q, rng),
-                state.params, (voxels, images, poses), accum,
-            )
-        else:
-            loss, grads = jax.value_and_grad(loss_fn)(
+        if bf16_ar:
+            loss, grads = _shard_map_value_and_grad(vg_local, mesh, 3)(
                 state.params, voxels, images, poses, rng
             )
+        else:
+            loss, grads = vg_local(state.params, voxels, images, poses, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
@@ -239,7 +292,8 @@ def create_texture_state(
 
     params = init_texture_face_params(rng, model_cfg)
     tx = make_optimizer(cfg.e_eta, cfg.decay_steps, cfg.decay_rate,
-                        skip_nonfinite=cfg.skip_nonfinite_updates)
+                        skip_nonfinite=cfg.skip_nonfinite_updates,
+                        moment_dtype=cfg.moment_dtype)
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
 
 
@@ -248,16 +302,23 @@ def make_texture_train_step(
     cfg: TrainConfig,
     tx: optax.GradientTransformation,
     patch_size: int,
+    mesh=None,
 ):
     """step(state, voxels, images, normals, textures, poses, rng)
-    -> (state, loss). Images/normals in [0,1]."""
+    -> (state, loss). Images/normals in [0,1]. ``mesh``: see
+    :func:`make_shader_train_step` (bf16 gradient all-reduce opt-in)."""
     cdt = _dtype(cfg.compute_dtype)
+    bf16_ar = _use_bf16_allreduce(cfg, mesh)
 
     def loss_fn(params, voxels, images, normals, textures, poses, rng):
         voxels = _as_f32(voxels)
         images = _as_f32_image(images)
         normals = _as_f32_image(normals)
         crop_rng, drop_rng = jax.random.split(rng)
+        if bf16_ar:
+            drop_rng = jax.random.fold_in(
+                drop_rng, jax.lax.axis_index("data")
+            )
         m = Module(params=params, compute_dtype=cdt, train=True, dropout_rng=drop_rng)
         tex_grid = texture_decoder(
             m, textures.astype(cdt), tex_base=model_cfg.tex_base,
@@ -282,16 +343,24 @@ def make_texture_train_step(
 
     accum = cfg.grad_accum_steps
 
+    def vg_local(params, voxels, images, normals, textures, poses, rng):
+        if accum > 1:
+            return _accumulated_value_and_grad(
+                lambda p, v, i, n, t, q: loss_fn(p, v, i, n, t, q, rng),
+                params, (voxels, images, normals, textures, poses), accum,
+            )
+        return jax.value_and_grad(loss_fn)(
+            params, voxels, images, normals, textures, poses, rng
+        )
+
     def step(state: TrainState, voxels, images, normals, textures, poses, rng):
         rng = jax.random.fold_in(rng, state.step)
-        if accum > 1:
-            loss, grads = _accumulated_value_and_grad(
-                lambda p, v, i, n, t, q: loss_fn(p, v, i, n, t, q, rng),
-                state.params, (voxels, images, normals, textures, poses),
-                accum,
+        if bf16_ar:
+            loss, grads = _shard_map_value_and_grad(vg_local, mesh, 5)(
+                state.params, voxels, images, normals, textures, poses, rng
             )
         else:
-            loss, grads = jax.value_and_grad(loss_fn)(
+            loss, grads = vg_local(
                 state.params, voxels, images, normals, textures, poses, rng
             )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
