@@ -68,10 +68,16 @@ def main() -> None:
             is_greyscale=True,
             e_eta=1e-5,
             grad_accum_steps=env_accum,
+            moment_dtype=os.environ.get(
+                "RENDERNET_BENCH_MOMENT_DTYPE", "float32"
+            ),
         )
         model_cfg = ShaderConfig(
             remat=remat, scan_blocks=env_scan,
             remat_3d=bool(int(os.environ.get("RENDERNET_BENCH_REMAT3D", "0"))),
+            preact_policy=bool(
+                int(os.environ.get("RENDERNET_BENCH_PREACT", "0"))
+            ),
         )
         state, tx = create_shader_state(jax.random.PRNGKey(0), model_cfg, cfg)
         step = make_shader_train_step(model_cfg, cfg, tx, patch_size=patch)

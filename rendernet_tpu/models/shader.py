@@ -64,6 +64,15 @@ class ShaderConfig:
     # otherwise makes XLA auto-rematerialize ~100 ms of 1024-channel 2D
     # convs in the full-512 step. Subsumed by ``remat``.
     remat_3d: bool = False
+    # Save-pre-activations-only rematerialization for ALL res stacks
+    # (nn.layers.PREACT_NAME): per block, only the conv1 pre-activation is
+    # saved for the backward pass and the PReLU output is recomputed from
+    # it — one elementwise op per block, NO conv recompute, bit-identical
+    # gradients. Cuts res-stack activation memory ~33% (several GB at
+    # patch 128, batch 24), which is what lets the full-512 step fit
+    # WITHOUT XLA's ~100 ms of memory-pressure auto-remat
+    # (docs/performance.md). Subsumed by ``remat``/``remat_3d`` where set.
+    preact_policy: bool = False
     # Run each res stack as one lax.scan over stacked per-block params
     # (identical math and param naming, ~5x faster XLA compile, and with
     # remat one live block instead of n in the backward). Default OFF for
@@ -96,6 +105,7 @@ def shader_rendernet(m: Module, vox: jnp.ndarray, cfg: ShaderConfig) -> jnp.ndar
         x = res_block_stack(
             m, x, cfg.res1_blocks, c3, "res1_{}", ndim=3,
             use_scan=cfg.scan_blocks, remat=cfg.remat or cfg.remat_3d,
+            preact=cfg.preact_policy,
         )
         with m.scope("res1_skip"):
             x = conv3d(m, x, c3, (3, 3, 3), (1, 1, 1), scope="con1_3X3")
@@ -111,6 +121,7 @@ def shader_rendernet(m: Module, vox: jnp.ndarray, cfg: ShaderConfig) -> jnp.ndar
         x = res_block_stack(
             m, x, cfg.res2_blocks, nf, "res2_{}", ndim=2,
             use_scan=cfg.scan_blocks, remat=cfg.remat,
+            preact=cfg.preact_policy,
         )
         with m.scope("res2_skip"):
             x = conv2d(m, x, nf, (3, 3), (1, 1), scope="con1_3X3")
@@ -126,6 +137,7 @@ def shader_rendernet(m: Module, vox: jnp.ndarray, cfg: ShaderConfig) -> jnp.ndar
         x = res_block_stack(
             m, x, cfg.res3_blocks, b * 16, "res3_{}", ndim=2,
             use_scan=cfg.scan_blocks, remat=cfg.remat,
+            preact=cfg.preact_policy,
         )
         with m.scope("res3_skip"):
             x = conv2d(m, x, b * 16, (3, 3), (1, 1), scope="con1_3X3")

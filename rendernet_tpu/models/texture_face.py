@@ -69,6 +69,10 @@ class TextureFaceConfig:
     # same trade-off as ShaderConfig.remat; required for full-512 texture
     # training on a 16 GB chip.
     remat: bool = False
+    # See ShaderConfig.preact_policy: save only conv1 pre-activations in
+    # the res stacks, recompute the activation in backward (bit-identical,
+    # no conv recompute). Subsumed by ``remat``.
+    preact_policy: bool = False
     # See ShaderConfig.scan_blocks (same trade-off).
     scan_blocks: bool = False
 
@@ -163,6 +167,7 @@ def texture_face_rendernet(
         x = res_block_stack(
             m, x, cfg.res1_blocks, c3, "res1_{}", ndim=3,
             use_scan=cfg.scan_blocks, remat=cfg.remat,
+            preact=cfg.preact_policy,
         )
         with m.scope("res1_skip"):
             x = conv3d(m, x, c3, (3, 3, 3), (1, 1, 1), scope="con1_3X3")
@@ -177,6 +182,7 @@ def texture_face_rendernet(
         x = res_block_stack(
             m, x, cfg.res2_blocks, nf, "res2_{}", ndim=2,
             use_scan=cfg.scan_blocks, remat=cfg.remat,
+            preact=cfg.preact_policy,
         )
         with m.scope("res2_skip"):
             x = conv2d(m, x, nf, (3, 3), (1, 1), scope="con1_3X3")
@@ -192,6 +198,7 @@ def texture_face_rendernet(
         x = res_block_stack(
             m, x, cfg.res3_blocks, b * 8, "res3_{}", ndim=2,
             use_scan=cfg.scan_blocks, remat=cfg.remat,
+            preact=cfg.preact_policy,
         )
         with m.scope("res3_skip"):
             x = conv2d(m, x, b * 8, (3, 3), (1, 1), scope="con1_3X3")

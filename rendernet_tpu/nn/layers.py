@@ -31,6 +31,20 @@ from rendernet_tpu.ops import pallas_conv2d, pallas_conv3d
 
 Params = Dict[str, jnp.ndarray]
 
+# "Save pre-activations only": the res blocks' second conv normally makes
+# standard AD save BOTH the conv1 pre-activation z (for the PReLU VJP) and
+# the PReLU output y (for conv2's weight grad) — 2 of the 3 saved tensors
+# per block. ``_act_conv`` below fuses activation+conv2 into one custom-VJP
+# unit whose residuals are (z, alpha, w2) only; the backward recomputes
+# y = act(z) (one elementwise op, never a convolution) before forming the
+# weight grad. Cuts res-stack activation memory ~33% with the same math.
+#
+# WHY a custom VJP and not jax.checkpoint(policy=save_only_these_names):
+# measured on TPU (round 4), the per-block checkpoint regions cost ~16%
+# step time at patch 64 (294 -> 348 ms) with byte-identical conv counts —
+# the remat regions' optimization barriers split XLA's fusions. The custom
+# VJP expresses the identical recompute with no region boundaries.
+
 __all__ = [
     "Module",
     "prelu",
@@ -464,6 +478,47 @@ def fully_connected(
 # ---------------------------------------------------------------------------
 # composite blocks
 # ---------------------------------------------------------------------------
+def _act_apply(z: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """PReLU (alpha=0 == ReLU, with a dead alpha gradient)."""
+    return jnp.maximum(z, 0.0) + alpha * jnp.minimum(z, 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _act_conv(z, alpha, w, b, ndim):
+    """activation -> SAME stride-1 odd-kernel conv -> +bias, as ONE unit
+    whose VJP saves the PRE-activation only (see the note atop this
+    section). Forward math is identical to ``prelu`` + ``_conv_op`` + b."""
+    y = _act_apply(z, alpha)
+    return _conv_op(y, w, (1,) * ndim, ndim) + b
+
+
+def _act_conv_fwd(z, alpha, w, b, ndim):
+    return _act_conv(z, alpha, w, b, ndim), (z, alpha, w)
+
+
+def _act_conv_bwd(ndim, res, g):
+    z, alpha, w = res
+    ones = (1,) * ndim
+    y = _act_apply(z, alpha)  # the ONLY recompute — elementwise, no conv
+    # weight grad through the (fast-path-routed) conv expression, y fixed
+    _, wvjp = jax.vjp(lambda ww: _conv_op(y, ww, ones, ndim), w)
+    (gw,) = wvjp(g)
+    bcast_axes = tuple(range(g.ndim - 1))
+    gb = jnp.sum(g, axis=bcast_axes)
+    # data grad of a SAME stride-1 odd-kernel conv: same conv with the
+    # spatially-flipped, io-swapped kernel (exact adjoint; the guard in
+    # res_block_* restricts the preact path to odd kernels)
+    wf = jnp.flip(w, axis=tuple(range(ndim))).swapaxes(ndim, ndim + 1)
+    gy = _conv_op(g, wf, ones, ndim)
+    gz = jnp.where(z > 0, gy, alpha * gy)
+    galpha = jnp.sum(gy * jnp.minimum(z, 0.0), axis=bcast_axes)
+    return (gz.astype(z.dtype), galpha.astype(alpha.dtype),
+            gw.astype(w.dtype), gb.astype(g.dtype))
+
+
+_act_conv.defvjp(_act_conv_fwd, _act_conv_bwd)
+
+
 def res_block_2d(
     m: Module,
     x: jnp.ndarray,
@@ -471,16 +526,46 @@ def res_block_2d(
     scope: str,
     kernel: Sequence[int] = (3, 3),
     activation: str = "prelu",
+    preact: bool = False,
 ) -> jnp.ndarray:
     """conv -> activation -> conv, plus identity skip.
 
     ``activation='prelu'`` matches fresh-training blocks; ``'relu'`` matches
     the pretrained/npz-loaded blocks (tools/layer_util.py:91-121).
+    ``preact`` routes activation+conv2 through the save-pre-activation-only
+    custom VJP (see ``_act_conv``) — same math, ~33% less saved activation
+    memory.
     """
+    return _res_block(m, x, out_channels, scope, kernel, activation, preact, 2)
+
+
+def _res_block(m, x, out_channels, scope, kernel, activation, preact, ndim):
+    conv = conv2d if ndim == 2 else conv3d
+    ones = (1,) * ndim
     with m.scope(scope):
-        net = conv2d(m, x, out_channels, kernel, (1, 1), scope="con1_3X3")
-        net = prelu(m, net) if activation == "prelu" else jnp.maximum(net, 0.0)
-        net = conv2d(m, net, out_channels, kernel, (1, 1), scope="conv2_3x3")
+        net = conv(m, x, out_channels, kernel, ones, scope="con1_3X3")
+        use_preact = (
+            preact and not m.initializing
+            and all(k % 2 == 1 for k in kernel)
+        )
+        if use_preact:
+            if activation == "prelu":
+                alpha = m.param("alpha", (net.shape[-1],), initializers.zeros)
+            else:
+                alpha = jnp.zeros((net.shape[-1],), net.dtype)
+            with m.scope("conv2_3x3"):
+                w2 = m.param(
+                    "weights",
+                    tuple(kernel) + (net.shape[-1], out_channels),
+                    initializers.xavier_uniform,
+                )
+                b2 = m.param("biases", (out_channels,),
+                             initializers.constant(0.001))
+            net = _act_conv(net, alpha, w2, b2, ndim).astype(m.compute_dtype)
+        else:
+            net = (prelu(m, net) if activation == "prelu"
+                   else jnp.maximum(net, 0.0))
+            net = conv(m, net, out_channels, kernel, ones, scope="conv2_3x3")
     return (net + x).astype(m.compute_dtype)
 
 
@@ -491,12 +576,9 @@ def res_block_3d(
     scope: str,
     kernel: Sequence[int] = (3, 3, 3),
     activation: str = "prelu",
+    preact: bool = False,
 ) -> jnp.ndarray:
-    with m.scope(scope):
-        net = conv3d(m, x, out_channels, kernel, (1, 1, 1), scope="con1_3X3")
-        net = prelu(m, net) if activation == "prelu" else jnp.maximum(net, 0.0)
-        net = conv3d(m, net, out_channels, kernel, (1, 1, 1), scope="conv2_3x3")
-    return (net + x).astype(m.compute_dtype)
+    return _res_block(m, x, out_channels, scope, kernel, activation, preact, 3)
 
 
 def res_block_stack(
@@ -510,6 +592,7 @@ def res_block_stack(
     activation: str = "prelu",
     use_scan: bool = True,
     remat: bool = False,
+    preact: bool = False,
 ) -> jnp.ndarray:
     """Apply ``n_blocks`` identical res blocks named ``scope_fmt.format(i)``
     (i = 1..n).
@@ -521,7 +604,11 @@ def res_block_stack(
     identical parameter naming (init mode always unrolls, so the flat
     per-block param paths — and therefore npz weight import — are
     unchanged). ``remat`` checkpoints the body (one block of activations
-    live in the backward pass instead of ``n``).
+    live in the backward pass instead of ``n``). ``preact`` routes
+    activation+conv2 through the save-pre-activation-only custom VJP
+    (``_act_conv``): identical math, ~33% less saved activation memory,
+    and the backward recompute is one elementwise activation per block —
+    no convs. ``remat`` subsumes ``preact`` when both are set.
     """
     if kernel is None:
         kernel = (3,) * ndim
@@ -547,6 +634,7 @@ def res_block_stack(
             fn = lambda y, i=i: block_fn(
                 m, y, out_channels, scope=scope_fmt.format(i),
                 kernel=kernel, activation=activation,
+                preact=preact and not remat,
             )
             if remat and not m.initializing:
                 fn = jax.checkpoint(fn)
@@ -570,17 +658,26 @@ def res_block_stack(
     xs += [gather("conv2_3x3/weights"), gather("conv2_3x3/biases")]
     ones = (1,) * ndim
 
+    use_preact = preact and not remat and all(k % 2 == 1 for k in kernel)
+
     def body(h, ws):
         if has_prelu:
             w1, b1, al, w2, b2 = ws
         else:
             w1, b1, w2, b2 = ws
+            al = None
         net = _conv_op(h, w1, ones, ndim) + b1
-        if has_prelu:
-            net = jnp.maximum(net, 0.0) + al * jnp.minimum(net, 0.0)
+        if use_preact:
+            alpha = al if al is not None else jnp.zeros(
+                (net.shape[-1],), net.dtype
+            )
+            net = _act_conv(net, alpha, w2, b2, ndim)
         else:
-            net = jnp.maximum(net, 0.0)
-        net = _conv_op(net, w2, ones, ndim) + b2
+            if has_prelu:
+                net = jnp.maximum(net, 0.0) + al * jnp.minimum(net, 0.0)
+            else:
+                net = jnp.maximum(net, 0.0)
+            net = _conv_op(net, w2, ones, ndim) + b2
         return (net + h).astype(cdt), None
 
     if remat:

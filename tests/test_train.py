@@ -519,3 +519,129 @@ def test_grad_accumulation_validates_divisibility(rng):
     vox, images, poses = _tiny_batch(rng, batch=3)
     with pytest.raises(ValueError, match="divisible"):
         step(state, vox, images, poses, jax.random.PRNGKey(0))
+
+
+def test_preact_policy_preserves_step_semantics(rng):
+    """save-pre-activations-only remat (ShaderConfig.preact_policy) is a
+    pure memory transform: identical forward loss and fp32-roundoff-equal
+    gradients, for both the unrolled and lax.scan stack forms. (Gradients,
+    not post-Adam params: Adam normalizes magnitude away, so roundoff-level
+    grad wobble would look large through it.)"""
+    from rendernet_tpu.models.shader import init_shader_params, shader_rendernet
+    from rendernet_tpu.nn.layers import Module
+
+    # camera-aligned input: depth must equal new_size (no resample here)
+    vox = jnp.asarray(
+        (rng.random((2, 8, 8, 32, 1)) > 0.7).astype(np.float32)
+    )
+    params = init_shader_params(jax.random.PRNGKey(0), ShaderConfig(new_size=32))
+
+    def vg(model_cfg):
+        def loss(p):
+            m = Module(params=p)
+            return jnp.mean(shader_rendernet(m, vox, model_cfg) ** 2)
+
+        return jax.jit(jax.value_and_grad(loss))(params)
+
+    base_loss, base_grads = vg(ShaderConfig(new_size=32))
+    for extra in ({"scan_blocks": False}, {"scan_blocks": True}):
+        loss, grads = vg(
+            ShaderConfig(new_size=32, preact_policy=True, **extra)
+        )
+        assert float(loss) == pytest.approx(float(base_loss), rel=1e-7)
+        for k in base_grads:
+            np.testing.assert_allclose(
+                np.asarray(grads[k]), np.asarray(base_grads[k]),
+                rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+
+
+def test_adam_moments_fp32_matches_optax_and_bf16_stays_close():
+    """train.optim.scale_by_adam_moments: with moment_dtype=None the update
+    rule is exactly optax's; with bf16 moments the state halves and a short
+    trajectory stays within the expected storage-rounding envelope."""
+    import optax
+
+    from rendernet_tpu.train.optim import make_optimizer, scale_by_adam_moments
+
+    params = {
+        "a": jnp.asarray(np.random.default_rng(0).normal(size=(64,)),
+                         jnp.float32),
+        "w": jnp.asarray(np.random.default_rng(1).normal(size=(8, 8)),
+                         jnp.float32),
+    }
+    gfn = jax.grad(lambda p: jnp.sum(jnp.sin(p["a"])) + jnp.sum(p["w"] ** 2))
+
+    def trajectory(tx, n=10):
+        s, p = tx.init(params), params
+        for _ in range(n):
+            u, s = tx.update(gfn(p), s, p)
+            p = optax.apply_updates(p, u)
+        return p, s
+
+    ref = optax.chain(optax.scale_by_adam(b1=0.5, b2=0.999, eps=1e-8),
+                      optax.scale_by_learning_rate(1e-3))
+    new = optax.chain(scale_by_adam_moments(b1=0.5, b2=0.999, eps=1e-8),
+                      optax.scale_by_learning_rate(1e-3))
+    p_ref, _ = trajectory(ref)
+    p_new, _ = trajectory(new)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p_ref[k]), np.asarray(p_new[k]),
+                                   rtol=1e-7, atol=1e-7)
+
+    tx_bf = make_optimizer(1e-3, 1000, moment_dtype="bfloat16")
+    p_bf, s_bf = trajectory(tx_bf, n=20)
+    float_leaves = [l for l in jax.tree.leaves(s_bf)
+                    if l.dtype != jnp.int32]
+    assert float_leaves and all(l.dtype == jnp.bfloat16 for l in float_leaves)
+    tx_f = make_optimizer(1e-3, 1000)
+    p_f, _ = trajectory(tx_f, n=20)
+    # total parameter movement is ~lr*steps = 2e-2; bf16 moment storage
+    # rounding perturbs the path by <1% of that
+    for k in params:
+        dev = float(jnp.max(jnp.abs(p_f[k] - p_bf[k])))
+        assert dev < 2e-4, (k, dev)
+
+
+def test_moment_dtype_validation():
+    with pytest.raises(ValueError, match="moment_dtype"):
+        TrainConfig(batch_size=1, img_res=128, new_size=32,
+                    moment_dtype="float16").validate()
+
+
+def test_bf16_allreduce_step_matches_fp32_path(rng):
+    """cfg.allreduce_dtype='bfloat16' (shard_map + bf16 pmean of grads,
+    train/steps.py) reproduces the XLA-propagation fp32 path: identical
+    loss (computed in fp32) and post-step params within the bf16 gradient
+    rounding envelope."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, batch_size=8)
+    mesh = make_mesh()
+    vox, images, poses = _tiny_batch(rng, batch=8)
+    images = jnp.full_like(images, 0.25)
+    key = jax.random.PRNGKey(5)
+
+    state, tx = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, cfg)
+    step = make_shader_train_step(TINY_MODEL, cfg, tx, patch_size=32)
+    state_f, loss_f = step(state, vox, images, poses, key)
+
+    cfg_bf = dataclasses.replace(cfg, allreduce_dtype="bfloat16")
+    state2, tx2 = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, cfg_bf)
+    step_bf = make_shader_train_step(
+        TINY_MODEL, cfg_bf, tx2, patch_size=32, mesh=mesh
+    )
+    state2 = replicate(mesh, state2)
+    sharded = shard_batch(mesh, (vox, images, poses))
+    state_b, loss_b = step_bf(state2, *sharded, key)
+
+    # loss is fp32 on both paths — tight
+    assert float(loss_b) == pytest.approx(float(loss_f), rel=1e-5)
+    # params went through one Adam step on bf16-rounded vs fp32 grads.
+    # Adam's first step is lr * g/|g| (i.e. +-lr regardless of |g|), so a
+    # near-zero grad element whose SIGN flips under bf16 rounding moves by
+    # up to 2*lr — the exact bound for one step, not a loose tolerance.
+    lr = cfg.e_eta
+    for k in state_f.params:
+        dev = float(jnp.max(jnp.abs(state_f.params[k] - state_b.params[k])))
+        assert dev <= 2 * lr, (k, dev)
