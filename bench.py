@@ -75,8 +75,10 @@ def main() -> None:
         model_cfg = ShaderConfig(
             remat=remat, scan_blocks=env_scan,
             remat_3d=bool(int(os.environ.get("RENDERNET_BENCH_REMAT3D", "0"))),
+            # save-pre-activation res blocks (_act_conv custom VJP):
+            # +3.2% at patch 64, free at full-512, exact math
             preact_policy=bool(
-                int(os.environ.get("RENDERNET_BENCH_PREACT", "0"))
+                int(os.environ.get("RENDERNET_BENCH_PREACT", "1"))
             ),
         )
         state, tx = create_shader_state(jax.random.PRNGKey(0), model_cfg, cfg)
@@ -99,10 +101,28 @@ def main() -> None:
     def run(patch, batch):
         """frames/s at this patch size; falls back to remat, then smaller
         batches, on OOM. Returns (frames_per_s, batch_used, remat_used)."""
+        # Opportunistic compile option: capping the TPU remat pass at the
+        # full shared-memory limit measures +0.28 fps at full-512
+        # (docs/performance.md round-4); harmless where accepted, and the
+        # plain-jit path is the fallback if a compiler rejects it.
+        copts = json.loads(os.environ.get(
+            "RENDERNET_BENCH_COMPILER_OPTS",
+            '{"xla_jf_rematerialization_percent_shared_memory_limit":"100"}',
+        ) or "null")
+
         while True:
             for remat in (False, True):
                 try:
                     step, state, batch_data = build(batch, patch, remat)
+                    if copts:
+                        try:
+                            step = step.lower(
+                                state, *batch_data, key
+                            ).compile(compiler_options=copts)
+                        except Exception:
+                            step, state, batch_data = build(
+                                batch, patch, remat
+                            )
                     state, loss = step(state, *batch_data, key)  # compile+warm
                     float(loss)
                     break

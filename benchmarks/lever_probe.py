@@ -6,7 +6,9 @@ the tool for attributing memory-lever effects (docs/performance.md).
 
 Env knobs: PATCH (64|128), BATCH, PREACT (0|1), MOMENTS (float32|bfloat16),
 REMAT (0|1), REMAT3D, SCAN, ACCUM, PALLAS2D (0|1 — force the fused HWNC
-Pallas res stacks).
+Pallas res stacks), COMPILER_OPTS (JSON dict of XLA compile options, e.g.
+'{"xla_jf_rematerialization_percent_shared_memory_limit":"100"}' —
+forwarded to the TPU compiler per-compile).
 """
 from __future__ import annotations
 
@@ -65,6 +67,12 @@ def main():
         [rng.uniform(0, 6.28, batch), rng.uniform(-1, 1, batch),
          np.ones(batch)], axis=1).astype(np.float32))
     key = jax.random.PRNGKey(1)
+    copts = os.environ.get("COMPILER_OPTS")
+    if copts:
+        knobs["compiler_opts"] = copts
+        step = step.lower(state, voxels, images, poses, key).compile(
+            compiler_options=json.loads(copts)
+        )
     try:
         state, loss = step(state, voxels, images, poses, key)
         float(loss)

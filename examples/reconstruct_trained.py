@@ -39,8 +39,15 @@ the A/Bs that chose this config (all runs under /tmp/recon_trained_r3*):
   * ranking too EARLY (12-step epochs) is worse: before the shared
     texture color converges, MSE favors smaller-silhouette poses.
 
-Usage: python examples/reconstruct_trained.py [--epochs 6]
-       [--inner-steps 60] [--out DIR] [--json PATH]
+``--arch mid`` runs the same workload through the REFERENCE-SCALE-GRID
+trained net (assets/texture_mid_face.npz: new_size=128, 512px — the
+reference face workload's camera-grid/image resolution) — pair with the
+reference budget ``--epochs 10 --inner-steps 200`` (5 hypotheses x 10
+epochs x 200 inner steps, config_reconstruction_RenderNet.json:9,11-12)
+for the round-4 trained reference-scale artifact.
+
+Usage: python examples/reconstruct_trained.py [--arch tiny|mid]
+       [--epochs 6] [--inner-steps 60] [--out DIR] [--json PATH]
 """
 from __future__ import annotations
 
@@ -61,6 +68,7 @@ GOLDEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--arch", choices=("tiny", "mid"), default="tiny")
     p.add_argument("--out", type=str, default="/tmp/rendernet_recon_trained")
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--inner-steps", type=int, default=60)
@@ -103,11 +111,13 @@ def main():
     from rendernet_tpu.train.checkpoint import load_params_npz
     from rendernet_tpu.utils.image import save_image, to_uint8
 
-    with open(os.path.join(ASSETS, "texture_tiny_arch.json")) as f:
+    with open(os.path.join(ASSETS, f"texture_{args.arch}_arch.json")) as f:
         arch = {k: tuple(v) if isinstance(v, list) else v
                 for k, v in json.load(f).items()}
     net_cfg = TextureFaceConfig(**arch)
-    params = load_params_npz(os.path.join(ASSETS, "texture_tiny_face.npz"))
+    params = load_params_npz(
+        os.path.join(ASSETS, f"texture_{args.arch}_face.npz")
+    )
     vox = load_binvox("/root/reference/binvox/chair.binvox").astype(np.float32)
 
     # Ground truth latents. Pose sits inside the initial search box
@@ -120,9 +130,10 @@ def main():
     true_az, true_el = 255.0, 8.0
     true_light_az = 280.0
     light_elev = (90 - 105) * math.pi / 180.0
-    true_beta = np.load(
-        os.path.join(GOLDEN, "texture_tiny_beta1.npy")
-    ).reshape(1, -1).astype(np.float32)
+    beta_path = (os.path.join(GOLDEN, "texture_tiny_beta1.npy")
+                 if args.arch == "tiny"
+                 else os.path.join(ASSETS, "texture_mid_beta1.npy"))
+    true_beta = np.load(beta_path).reshape(1, -1).astype(np.float32)
 
     cfg = ReconConfig(
         z_dim=8,  # unused by the loss (no shape decoder); keep tiny
@@ -237,7 +248,7 @@ def main():
         - beta_to_rgb(true_beta)
     ).mean())
     result = {
-        "bench": "reconstruct_trained_tiny",
+        "bench": f"reconstruct_trained_{args.arch}",
         "backend": jax.default_backend(),
         "img_res": 4 * net_cfg.new_size,
         "budget": [cfg.batch_size, cfg.max_epochs, cfg.inner_steps],

@@ -1,4 +1,4 @@
-"""Train the committable "tiny" texture/normal face showcase net.
+"""Train a committable texture/normal face showcase net (tiny or mid).
 
 Produces the repo's second committed trained-weights artifact
 (``assets/texture_tiny_face.npz`` + ``assets/texture_tiny_arch.json``):
@@ -14,7 +14,14 @@ heads) trained on a synthetic colored-silhouette face-style dataset where
 Powers tests/test_trained_golden_texture.py (golden regression + held-out
 pose/identity quality gates).
 
-Usage: python examples/train_tiny_texture.py [--steps N] [--out DIR]
+``--arch mid`` trains the REFERENCE-SCALE-GRID variant (new_size=128,
+512px targets — the camera-grid/image resolution of the reference's face
+workload, RenderNet_Texture_Face_Normal.py) at committable width: it
+powers the round-4 trained reference-scale inverse-rendering artifact
+(examples/reconstruct_trained.py --arch mid) and its slow ranking test.
+
+Usage: python examples/train_tiny_texture.py [--arch tiny|mid] [--steps N]
+       [--out DIR]
 """
 from __future__ import annotations
 
@@ -40,9 +47,26 @@ TINY_TEX_ARCH = {
     "new_size": 64,
 }
 
+# ~6 M params at the REFERENCE camera-grid scale: 128-deep grid -> 512^2
+# targets (projection width 32*8=256), reduced block counts/width so the
+# weights stay committable (~23 MB npz).
+MID_TEX_ARCH = {
+    "texture_dim": 199,
+    "tex_base": 8,
+    "enc_channels": [4, 8, 8],
+    "res1_blocks": 3,
+    "res2_blocks": 3,
+    "res3_blocks": 2,
+    "base": 16,
+    "new_size": 128,
+}
+
+ARCHS = {"tiny": TINY_TEX_ARCH, "mid": MID_TEX_ARCH}
+
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--arch", choices=("tiny", "mid"), default="tiny")
     p.add_argument("--steps", type=int, default=8000)
     p.add_argument("--out", type=str, default="/tmp/rendernet_tiny_tex_run")
     p.add_argument("--batch", type=int, default=8)
@@ -66,7 +90,8 @@ def main():
 
     assets = sorted(glob.glob("/root/reference/binvox/*.binvox"))
     os.makedirs(args.out, exist_ok=True)
-    img_res = 4 * TINY_TEX_ARCH["new_size"]
+    ARCH = ARCHS[args.arch]
+    img_res = 4 * ARCH["new_size"]
     # Train ring theta {60, 90, 105}; theta 75 held out for the quality
     # gate (same protocol as train_tiny_shader.py).
     poses = [(az, th) for az in range(10, 370, 20) for th in (60, 90, 105)]
@@ -85,7 +110,7 @@ def main():
         batch_size=args.batch,
         batches_chunk=2,
         img_res=img_res,
-        new_size=TINY_TEX_ARCH["new_size"],
+        new_size=ARCH["new_size"],
         e_eta=args.lr,
         decay_steps=args.decay_steps,
         decay_rate=args.decay_rate,
@@ -97,7 +122,7 @@ def main():
         cache_chunks=True,
     )
     arch = {k: tuple(v) if isinstance(v, list) else v
-            for k, v in TINY_TEX_ARCH.items()}
+            for k, v in ARCH.items()}
     model_cfg = TextureFaceConfig(**arch)
 
     losses = []
@@ -110,7 +135,7 @@ def main():
 
     params = jax.device_get(state.params)
     n_params = sum(int(np.asarray(v).size) for v in jax.tree_util.tree_leaves(params))
-    npz_path = os.path.join(args.out, "texture_tiny_face.npz")
+    npz_path = os.path.join(args.out, f"texture_{args.arch}_face.npz")
     save_params_npz(npz_path, params)
 
     # Held-out evaluation: render every identity at the held-out theta=75
@@ -176,9 +201,16 @@ def main():
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets"
         )
         os.makedirs(adir, exist_ok=True)
-        shutil.copy(npz_path, os.path.join(adir, "texture_tiny_face.npz"))
-        with open(os.path.join(adir, "texture_tiny_arch.json"), "w") as f:
-            json.dump(TINY_TEX_ARCH, f, indent=2)
+        shutil.copy(
+            npz_path, os.path.join(adir, f"texture_{args.arch}_face.npz")
+        )
+        with open(os.path.join(
+                adir, f"texture_{args.arch}_arch.json"), "w") as f:
+            json.dump(ARCH, f, indent=2)
+        # a training identity's beta, for recon ground-truth latents
+        beta1 = scipy.io.loadmat(os.path.join(tdir, "beta80001.mat"))
+        np.save(os.path.join(adir, f"texture_{args.arch}_beta1.npy"),
+                beta1["beta"].reshape(-1).astype(np.float32))
         print(f"assets saved to {adir}")
 
 

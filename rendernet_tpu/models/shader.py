@@ -64,14 +64,16 @@ class ShaderConfig:
     # otherwise makes XLA auto-rematerialize ~100 ms of 1024-channel 2D
     # convs in the full-512 step. Subsumed by ``remat``.
     remat_3d: bool = False
-    # Save-pre-activations-only rematerialization for ALL res stacks
-    # (nn.layers.PREACT_NAME): per block, only the conv1 pre-activation is
-    # saved for the backward pass and the PReLU output is recomputed from
-    # it — one elementwise op per block, NO conv recompute, bit-identical
-    # gradients. Cuts res-stack activation memory ~33% (several GB at
-    # patch 128, batch 24), which is what lets the full-512 step fit
-    # WITHOUT XLA's ~100 ms of memory-pressure auto-remat
-    # (docs/performance.md). Subsumed by ``remat``/``remat_3d`` where set.
+    # Save-pre-activations-only res blocks (nn.layers._act_conv custom
+    # VJP): per block, only the conv1 pre-activation is saved for the
+    # backward pass and the activation output is recomputed from it — one
+    # elementwise op per block, NO conv recompute, same math to fp32
+    # roundoff. Cuts res-stack activation memory ~33% (~6 GB at patch
+    # 128, batch 24, measured by AOT memory analysis) and measures +3.2%
+    # at patch 64 (84.2 vs 81.6 frames/s); full-512 time is unchanged —
+    # the step is conv-schedule-bound, not memory-bound
+    # (docs/performance.md round-4 section). Subsumed by
+    # ``remat``/``remat_3d`` where set.
     preact_policy: bool = False
     # Run each res stack as one lax.scan over stacked per-block params
     # (identical math and param naming, ~5x faster XLA compile, and with

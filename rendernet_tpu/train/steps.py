@@ -324,19 +324,34 @@ def make_texture_train_step(
             m, textures.astype(cdt), tex_base=model_cfg.tex_base,
             tex_grid=model_cfg.tex_grid,
         ).astype(jnp.float32)
+        # When the shape and texture grids share a resolution (they do at
+        # reference scale: both 64^3), run ONE resample over the
+        # channel-concatenated [B,64,64,64,1+4] grid instead of the
+        # reference's two independent passes
+        # (RenderNet_Texture_Face_Normal.py:165-172): the warp is linear
+        # and per-channel, so resample(concat) == concat(resample) exactly
+        # — but the pass plan, index math and kernel launches are shared.
+        # (texture_face_forward keeps the reference's two-pass graph for
+        # parity; this is the training-step fast path.)
+        fused = voxels.shape[1:4] == tex_grid.shape[1:4]
+        grids = ([jnp.concatenate([voxels, tex_grid], axis=4)] if fused
+                 else [voxels, tex_grid])
         if patch_size == cfg.new_size:
-            vox_c = _resample_full(voxels, poses, cfg)
-            tex_c = _resample_full(tex_grid, poses, cfg)
+            cams = [_resample_full(g, poses, cfg) for g in grids]
             img_c, nrm_c = images, normals
         else:
             offsets = random_crop_offsets(crop_rng, cfg.new_size, patch_size)
-            vox_c = _resample_patch(voxels, poses, offsets, patch_size, cfg)
-            tex_c = _resample_patch(tex_grid, poses, offsets, patch_size, cfg)
+            cams = [
+                _resample_patch(g, poses, offsets, patch_size, cfg)
+                for g in grids
+            ]
             factor = images.shape[1] // cfg.new_size
             img_c = crop_image(images, offsets, patch_size, factor)
             nrm_c = crop_image(normals, offsets, patch_size, factor)
-        both = jnp.concatenate([vox_c, tex_c], axis=4).astype(cdt)
-        albedo, normal_pred = texture_face_rendernet(m, both, model_cfg)
+        both_c = cams[0] if fused else jnp.concatenate(cams, axis=4)
+        albedo, normal_pred = texture_face_rendernet(
+            m, both_c.astype(cdt), model_cfg
+        )
         return shader_loss_from_images(
             albedo, img_c, greyscale=False
         ) + shader_loss_from_images(normal_pred, nrm_c, greyscale=False)

@@ -645,3 +645,58 @@ def test_bf16_allreduce_step_matches_fp32_path(rng):
     for k in state_f.params:
         dev = float(jnp.max(jnp.abs(state_f.params[k] - state_b.params[k])))
         assert dev <= 2 * lr, (k, dev)
+
+
+def test_texture_fused_resample_matches_two_pass(rng):
+    """When voxel and texture grids share a resolution, the texture train
+    step resamples ONE channel-concatenated grid (train/steps.py). The
+    warp is linear and per-channel, so the loss must equal the manual
+    two-pass construction exactly."""
+    import dataclasses
+
+    from rendernet_tpu.models.texture_face import (
+        texture_decoder,
+        texture_face_rendernet,
+    )
+    from rendernet_tpu.nn.layers import Module
+    from rendernet_tpu.train.steps import (
+        _resample_full,
+        create_texture_state,
+        make_texture_train_step,
+        shader_loss_from_images,
+    )
+
+    cfg = TrainConfig(
+        batch_size=2, img_res=128, new_size=32, e_eta=1e-4,
+        compute_dtype="float32", is_greyscale=False,
+    )
+    # tex_grid == voxel_res == 16 -> the fused branch is taken
+    model_cfg = TextureFaceConfig(new_size=32, tex_base=8, tex_grid=16)
+    state, tx = create_texture_state(jax.random.PRNGKey(0), model_cfg, cfg)
+    step = make_texture_train_step(model_cfg, cfg, tx, patch_size=32)
+
+    vox = jnp.asarray((rng.random((2, 16, 16, 16, 1)) > 0.7).astype(np.float32))
+    images = jnp.asarray(rng.random((2, 128, 128, 3)).astype(np.float32))
+    normals = jnp.asarray(rng.random((2, 128, 128, 3)).astype(np.float32))
+    textures = jnp.asarray(rng.standard_normal((2, 199)).astype(np.float32))
+    poses = jnp.asarray(
+        np.stack([rng.uniform(0, 6.28, 2), rng.uniform(-1, 1, 2),
+                  np.ones(2)], axis=1).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(7)
+    # snapshot first: the jitted step DONATES its state
+    params = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), state.params)
+    _, loss_fused = step(state, vox, images, normals, textures, poses, key)
+
+    # manual two-pass construction with the same params
+    m = Module(params=params, compute_dtype=jnp.float32, train=True,
+               dropout_rng=jax.random.PRNGKey(0))
+    tex_grid = texture_decoder(m, textures, tex_base=8, tex_grid=16)
+    vox_c = _resample_full(vox, poses, cfg)
+    tex_c = _resample_full(tex_grid.astype(jnp.float32), poses, cfg)
+    both = jnp.concatenate([vox_c, tex_c], axis=4)
+    albedo, normal_pred = texture_face_rendernet(m, both, model_cfg)
+    loss_manual = shader_loss_from_images(
+        albedo, images, greyscale=False
+    ) + shader_loss_from_images(normal_pred, normals, greyscale=False)
+    assert float(loss_fused) == pytest.approx(float(loss_manual), rel=1e-6)
