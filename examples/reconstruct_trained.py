@@ -87,6 +87,12 @@ def main():
     p.add_argument("--tex-eta", type=float, default=0.1,
                    help="kept low: the 64^3 texture field can paint away "
                         "geometry error, confounding the pose ranking")
+    p.add_argument("--resample", choices=("auto", "exact", "multipass"),
+                   default="auto",
+                   help="recon render warp. auto = multipass for the mid "
+                        "(512px) net — the exact gather program at 512px "
+                        "is pathological on TPU (and crashed the worker "
+                        "in round 4) — exact for tiny (r3 comparability)")
     p.add_argument("--light-init", choices=("mid", "linspace"), default="mid",
                    help="'mid': all hypotheses start at the light-prior "
                         "midpoint so epoch-0 loss ranks POSE alone; "
@@ -155,11 +161,15 @@ def main():
         np.broadcast_to(vox[None, :, :, :, None], (b,) + vox.shape + (1,))
     )
 
+    resample = (args.resample if args.resample != "auto"
+                else ("multipass" if args.arch == "mid" else "exact"))
+
     def render(latents: Latents) -> jnp.ndarray:
         albedo, normal = texture_face_forward(
             params, vox_b[: latents.pose.shape[0]], latents.texture,
             latents.pose, net_cfg, compute_dtype=jnp.bfloat16
             if cfg.compute_dtype == "bfloat16" else jnp.float32,
+            resample=resample,
         )
         n = latents.pose.shape[0]
         light_dir = generate_light_pos(latents.light, cfg.light_elevation, n)

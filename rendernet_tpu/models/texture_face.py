@@ -221,10 +221,16 @@ def texture_face_forward(
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    resample: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full pipeline (RenderNet_Texture_Face_Normal.py:165-179): decode the
     texture grid, independently rotate+resample shape and texture, concat on
-    channel, run the two-head network. Returns (albedo, normal)."""
+    channel, run the two-head network. Returns (albedo, normal).
+
+    ``resample``: "exact" (direct trilinear — reference bit-parity) or
+    "multipass" (the fast Pallas kernel; see shader_forward — required in
+    practice for repeated 512px renders, e.g. the inverse-rendering inner
+    loop, where the exact gather program is pathological on TPU)."""
     m = Module(
         params=params,
         compute_dtype=compute_dtype,
@@ -235,10 +241,24 @@ def texture_face_forward(
         m, texture_code.astype(compute_dtype), tex_base=cfg.tex_base,
         tex_grid=cfg.tex_grid,
     )
-    shape_cam = rotate_resample_to_camera(voxels, view_params, new_size=cfg.new_size)
-    tex_cam = rotate_resample_to_camera(
-        tex_grid.astype(jnp.float32), view_params, new_size=cfg.new_size
-    )
+    if resample == "multipass":
+        from rendernet_tpu.ops.pallas_resample import (
+            rotate_resample_to_camera_multipass,
+        )
+
+        def warp(g):
+            return rotate_resample_to_camera_multipass(
+                g, view_params, new_size=cfg.new_size,
+                compute_dtype=compute_dtype,
+            )
+    else:
+        def warp(g):
+            return rotate_resample_to_camera(
+                g, view_params, new_size=cfg.new_size
+            )
+
+    shape_cam = warp(voxels)
+    tex_cam = warp(tex_grid.astype(jnp.float32))
     both = jnp.concatenate([shape_cam, tex_cam], axis=4).astype(compute_dtype)
     return texture_face_rendernet(m, both, cfg)
 

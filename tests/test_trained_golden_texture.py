@@ -142,3 +142,77 @@ def test_trained_texture_color_tracks_beta(tiny_tex_net):
     err_match = np.abs(c1 - t1).mean() + np.abs(c2 - t2).mean()
     err_cross = np.abs(c1 - t2).mean() + np.abs(c2 - t1).mean()
     assert err_match < err_cross, (c1, c2, t1, t2)
+
+
+@pytest.mark.slow
+def test_mid_net_reference_scale_azimuth_ranking():
+    """The ranking property at the REFERENCE camera-grid scale
+    (new_size=128, 512px — the resolution of the reference's face
+    workload): rendering 5 azimuth hypotheses through the committed
+    trained mid net (assets/texture_mid_face.npz,
+    examples/train_tiny_texture.py --arch mid) with the TRUE texture code
+    and light, the pose-search ranking (per-sample MSE vs the GT-pose
+    render, Reconstruct_RenderNet_Face.py:530-537) must prefer hypotheses
+    by azimuth distance — the property the coarse-to-fine box search
+    rests on, pinned at the scale of the round-4 trained recon artifact
+    (benchmarks/results/inverse_render_refscale_trained_r4.json)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from rendernet_tpu.io import load_binvox
+    from rendernet_tpu.models.texture_face import (
+        TextureFaceConfig,
+        texture_face_forward,
+    )
+    from rendernet_tpu.ops.phong import generate_light_pos, phong_composite
+    from rendernet_tpu.train.checkpoint import load_params_npz
+
+    with open(os.path.join(ASSETS, "texture_mid_arch.json")) as f:
+        arch = {k: tuple(v) if isinstance(v, list) else v
+                for k, v in json.load(f).items()}
+    cfg = TextureFaceConfig(**arch)
+    assert cfg.new_size == 128  # reference camera-grid scale -> 512px
+    params = load_params_npz(os.path.join(ASSETS, "texture_mid_face.npz"))
+    beta = np.load(os.path.join(ASSETS, "texture_mid_beta1.npy")).astype(
+        np.float32
+    ).reshape(1, -1)
+    vox = load_binvox(VOX_PATH).astype(np.float32)
+
+    true_az, el = 255.0, 8.0
+    light_az, light_el = math.radians(280.0), math.radians(90 - 105)
+    # 5 hypotheses: GT-nearest is 250 (5 deg off); ranking must order by
+    # azimuth distance
+    hyp_az = np.array([250.0, 210.0, 290.0, 170.0, 330.0])
+
+    def render(az_deg_batch):
+        n = len(az_deg_batch)
+        poses = jnp.asarray(np.stack([
+            np.deg2rad(az_deg_batch), np.full(n, math.radians(el)),
+            np.ones(n),
+        ], axis=1).astype(np.float32))
+        albedo, normal = texture_face_forward(
+            params, jnp.asarray(np.broadcast_to(
+                vox[None, :, :, :, None], (n,) + vox.shape + (1,)
+            )), jnp.asarray(np.tile(beta, (n, 1))), poses, cfg,
+        )
+        light_dir = generate_light_pos(
+            jnp.full((n, 1), light_az), light_el, n
+        )
+        shading = phong_composite(
+            normal, light_dir, jnp.ones((n, 3), jnp.float32), 0.6, 0.4,
+            black_background=False, with_mask=True,
+        )
+        return albedo * shading
+
+    target = render(np.array([true_az]))
+    preds = render(hyp_az)
+    losses = np.asarray(
+        jnp.mean((preds - target) ** 2, axis=(1, 2, 3))
+    )
+    order = np.argsort(losses)
+    # hyp_az is already sorted by azimuth distance from GT
+    assert order[0] == 0, (hyp_az, losses)
+    # and the far-out hypotheses must not beat the near ones
+    assert losses[0] < losses[3] and losses[0] < losses[4], losses
