@@ -26,9 +26,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    if os.environ.get("RENDERNET_BENCH_PALLAS2D") is not None:
+        from rendernet_tpu.nn import layers
+
+        layers.PALLAS_CONV2D = bool(
+            int(os.environ["RENDERNET_BENCH_PALLAS2D"])
+        )
 
     from rendernet_tpu.models.shader import (
         ShaderConfig,

@@ -56,6 +56,12 @@ class TrainState(NamedTuple):
     step: jnp.ndarray  # scalar int32
 
 
+# Texture step: resample the channel-concatenated shape+texture grid in
+# ONE pass when resolutions match (exact same math — see the note in
+# make_texture_train_step). Module-level so benchmarks can A/B it.
+FUSE_TEXTURE_RESAMPLE = True
+
+
 def _dtype(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
 
@@ -333,7 +339,10 @@ def make_texture_train_step(
         # — but the pass plan, index math and kernel launches are shared.
         # (texture_face_forward keeps the reference's two-pass graph for
         # parity; this is the training-step fast path.)
-        fused = voxels.shape[1:4] == tex_grid.shape[1:4]
+        fused = (
+            FUSE_TEXTURE_RESAMPLE
+            and voxels.shape[1:4] == tex_grid.shape[1:4]
+        )
         grids = ([jnp.concatenate([voxels, tex_grid], axis=4)] if fused
                  else [voxels, tex_grid])
         if patch_size == cfg.new_size:
