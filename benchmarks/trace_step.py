@@ -87,6 +87,55 @@ def capture(out_dir: str, patch: int, batch: int, steps: int,
     jax.profiler.stop_trace()
 
 
+def summarize_by_category(out_dir: str, steps: int) -> None:
+    """Group device self-time by hlo_category with source attribution for
+    the Pallas custom-calls (whose names — e.g. ``transpose_jvp___.N`` —
+    look like transposes but are kernels named after their autodiff
+    scope; round 3 misread them as XLA layout transposes). This is the
+    view behind docs/performance.md's per-category tables."""
+    import collections
+    import re
+
+    paths = sorted(glob.glob(os.path.join(
+        out_dir, "**", "*.trace.json.gz"), recursive=True))
+    if not paths:
+        print(json.dumps({"error": "no trace.json.gz found", "dir": out_dir}))
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    skip = re.compile(r"^(jit_|\d+$|\$)")
+    cat = collections.Counter()
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") != "X":
+            continue
+        n = e.get("name", "")
+        if skip.match(n) or "asarray" in n or "stop_trace" in n:
+            continue
+        a = e.get("args") or {}
+        c = a.get("hlo_category")
+        if c is None:
+            continue  # host-side / container spans
+        src = a.get("source", "")
+        if "pallas_conv3d" in src or "pallas_conv2d" in src or (
+            "layers.py" in src and "custom" in c
+        ):
+            c = "pallas conv kernels"
+        elif "pallas_resample" in src:
+            c = "pallas resample kernels"
+        if ".remat" in n and not c.startswith("pallas"):
+            c += " [remat]"
+        cat[c] += e.get("dur", 0)
+    total = sum(cat.values())
+    print(json.dumps({"device_total_ms_per_step":
+                      round(total / 1000 / steps, 1)}))
+    for k, v in cat.most_common():
+        print(json.dumps({
+            "category": k,
+            "ms_per_step": round(v / 1000 / steps, 1),
+            "pct": round(100 * v / max(total, 1), 1),
+        }))
+
+
 def summarize(out_dir: str, steps: int, top: int = 40) -> None:
     """Aggregate device-plane op self-times from the trace-events JSON (the
     perfetto dump jax writes next to the xplane pb)."""
@@ -157,8 +206,11 @@ if __name__ == "__main__":
     ap.add_argument("--preact", action="store_true")
     ap.add_argument("--out", type=str, default="/tmp/trace_step")
     ap.add_argument("--summarize-only", action="store_true")
+    ap.add_argument("--by-category", action="store_true")
     a = ap.parse_args()
     if not a.summarize_only:
         capture(a.out, a.patch, a.batch, a.steps, a.workload, a.remat,
                 a.preact)
+    if a.by_category:
+        summarize_by_category(a.out, a.steps)
     summarize(a.out, a.steps)

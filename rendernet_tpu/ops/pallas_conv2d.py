@@ -50,6 +50,20 @@ packed-depth):
 
 Reference semantics: SAME, stride 1, 3x3 + bias + PReLU/ReLU + skip —
 tools/layer_util.py:91-121 (res_block_2d) and :147-185 (conv2d).
+
+STATUS after rounds 3-4 (measured; docs/performance.md): TRAINING keeps
+the XLA path. Five end-to-end negatives at full-512 — the fused stacks'
+footprint (epilogue z-residuals + Mosaic staging + HWNC boundaries)
+forces the remat fallback (16.8 fps), the recompute-VJP PReLU variant
+still exceeds HBM (15.6), and at the network level kernel-vs-XLA is a
+TIE with full gradients (301.7 vs 300.8 ms) — XLA:TPU's conv lowering
+is at par on these wide-channel shapes, and round 4 established the
+full-512 step is conv-schedule-bound, not memory-bound, so there is no
+fusion dividend left to harvest. The module's LIVE role is the
+fwd-only/serving envelope, where the fused conv+PReLU beats XLA at the
+res-stack shapes (14.8 vs 16.1 ms at 64^2 isolated; serving A/B:
+benchmarks/serving_bench.py RENDERNET_BENCH_PALLAS2D=0/1), plus being
+the measured-negative record that documents WHY the default is XLA.
 """
 from __future__ import annotations
 
