@@ -9,10 +9,17 @@ efficiency analytically — with every input either measured in this repo
 or a published hardware figure.
 
 Model (DP over N chips, H hosts):
-  * per-step collective = one all-reduce of the fp32 gradient pytree
+  * per-step collective = one all-reduce of the gradient pytree
     (train/distributed.py shards batch, replicates params; XLA lowers the
     psum to a bidirectional ring: 2*(N-1)/N * P bytes through each chip's
-    slowest link).
+    slowest link). Round 4 replaced this model's fp32 byte assumption
+    with COMPILED evidence (benchmarks/overlap_check.py): with
+    compute_dtype=bf16 the SPMD partitioner reduces the bf16 gradients
+    BEFORE their fp32 cast — every gradient all-reduce in the compiled
+    module is bf16, i.e. 2 bytes/param. The same evidence shows the
+    all-reduces are emitted SYNC (no async start/done pairs under any
+    tried compile config), so the honest headline bound is the
+    zero-overlap one — which now clears the gate on its own.
   * within a host/slice the ring rides ICI; across hosts the data axis is
     DCN-major (make_hybrid_mesh), so each host boundary crossing moves
     the same ring traffic over DCN.
@@ -56,7 +63,12 @@ DCN_GBPS = 25e9  # ~25 GB/s/host data-center network class
 V5E_ICI_GBPS = 50e9  # v5e inter-chip class (this repo's bench chip)
 
 
-def ring_bytes(params: int, n: int, bytes_per: int = 4) -> float:
+# Compiled evidence (overlap_check_v5e_r4.json): gradient all-reduces are
+# bf16 — 2 bytes/param, half the fp32 assumption of the r3 model.
+GRAD_BYTES_PER_PARAM = 2
+
+
+def ring_bytes(params: int, n: int, bytes_per: int = GRAD_BYTES_PER_PARAM) -> float:
     """Bidirectional-ring all-reduce traffic per chip."""
     return 2.0 * (n - 1) / n * params * bytes_per
 
@@ -85,21 +97,28 @@ def main() -> None:
                 "allreduce_mb": round(byts / 1e6, 1),
                 "t_comm_ms": round(t_comm * 1e3, 2),
                 "efficiency_zero_overlap": round(efficiency(step_s, t_comm), 4),
-                # backward pass is ~2/3 of the step; any overlap at all
-                # absorbs a t_comm this small completely
+                # the compiled schedule shows SYNC all-reduces (no async
+                # pairs — overlap_check.py), so zero-overlap is the real
+                # bound; the overlapped row is kept as the would-be upper
+                # bracket if a future compiler/SC-offload converts them
                 "efficiency_overlapped": 1.0 if t_comm < 0.66 * step_s else
                 round(efficiency(step_s, t_comm - 0.66 * step_s), 4),
             })
     out["scenarios"] = scenarios
+    out["evidence"] = (
+        "gradient collective dtype + schedule form read from the compiled "
+        "multi-chip module (benchmarks/overlap_check.py, artifacts "
+        "overlap_check_{v5e,v5p}_r4.json): all gradient all-reduces bf16, "
+        "all emitted sync"
+    )
     out["conclusion"] = (
-        "DP gradient all-reduce moves ~1.8 GB/chip/step (237M fp32 grads) "
-        "against a 294-1264 ms compute step: ~71 ms over 2-host DCN, "
-        "~18 ms over ICI. Even with ZERO compute/comms overlap the 2-host "
-        "efficiency bound is ~95% (full512) / ~81% (patch64); with the "
-        "all-reduce overlapped into the backward pass (XLA latency-hiding "
-        "scheduler; t_bwd ~2/3 of the step, far larger than t_comm) both "
-        "round to ~100%, clearing the 85% gate. The full512 step - the "
-        "bench.py primary - clears it even in the zero-overlap worst case."
+        "DP gradient all-reduce moves ~0.9 GB/chip/step (237M bf16 grads "
+        "- COMPILED evidence, not an assumption) against a 294-1264 ms "
+        "compute step: ~36 ms over 2-host DCN, ~9 ms over ICI. The "
+        "compiled schedule is sync (no async pairs), so the zero-overlap "
+        "row is the real bound - and it clears the 85% gate everywhere: "
+        "2-host patch64 89.2%, full512 97.2%. No overlap assumption is "
+        "load-bearing anymore."
     )
     print(json.dumps(out))
 
