@@ -700,3 +700,20 @@ def test_texture_fused_resample_matches_two_pass(rng):
         albedo, images, greyscale=False
     ) + shader_loss_from_images(normal_pred, normals, greyscale=False)
     assert float(loss_fused) == pytest.approx(float(loss_manual), rel=1e-6)
+
+
+def test_bf16_moments_checkpoint_roundtrip(tmp_path):
+    """The bf16-moment optimizer state (AdamMomentState) survives the
+    Orbax checkpoint round-trip with dtypes intact."""
+    import dataclasses
+
+    from rendernet_tpu.train import restore_checkpoint, save_checkpoint
+
+    cfg = dataclasses.replace(TINY, moment_dtype="bfloat16")
+    state, _ = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, cfg)
+    path = str(tmp_path / "ckpt_bf16")
+    save_checkpoint(path, state)
+    restored = restore_checkpoint(path, state)
+    float_leaves = [l for l in jax.tree.leaves(restored.opt_state)
+                    if hasattr(l, "dtype") and l.dtype != jnp.int32]
+    assert float_leaves and all(l.dtype == jnp.bfloat16 for l in float_leaves)
