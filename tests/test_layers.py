@@ -264,3 +264,35 @@ def test_depth_packed_dispatch_guards(rng):
         )
         == 1
     )
+
+
+def test_preact_res_block_relu_matches_base(rng):
+    """_act_conv's preact path for activation='relu' blocks (the
+    pretrained/npz-loaded form, tools/layer_util.py:91-121): forward and
+    gradients match the two-op base path to fp32 roundoff."""
+    import jax
+
+    from rendernet_tpu.nn.layers import Module, res_block_stack
+
+    x0 = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    m = Module(rng=jax.random.PRNGKey(0))
+    res_block_stack(m, x0, 2, 16, "rb_{}", ndim=2, activation="relu",
+                    use_scan=False)
+    params = m.params
+
+    def loss(p, preact, use_scan):
+        mm = Module(params=p)
+        return jnp.sum(res_block_stack(
+            mm, x0, 2, 16, "rb_{}", ndim=2, activation="relu",
+            use_scan=use_scan, preact=preact,
+        ) ** 2)
+
+    base, gbase = jax.value_and_grad(lambda p: loss(p, False, False))(params)
+    for use_scan in (False, True):
+        v, g = jax.value_and_grad(
+            lambda p: loss(p, True, use_scan)
+        )(params)
+        assert float(v) == pytest.approx(float(base), rel=1e-7)
+        for k in gbase:
+            np.testing.assert_allclose(np.asarray(g[k]), np.asarray(gbase[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
