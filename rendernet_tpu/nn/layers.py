@@ -157,6 +157,13 @@ DEPTH_PACK = "auto"
 # at training shapes. Same "auto"/True/False gating as DEPTH_PACK.
 PALLAS_CONV3D = "auto"
 
+# Winograd F(2x2,3x3) for the wide-channel 3x3 stride-1 convs
+# (ops/winograd.py): 2.25x fewer MXU MACs, exact to transform roundoff.
+# OFF by default pending the on-TPU A/B (benchmarks/winograd_bench.py) and
+# a training-quality gate (bf16 transform rounding) — the one remaining
+# lever on the conv-schedule-bound full-512 step (docs/performance.md).
+WINOGRAD_2D = False
+
 # Implicit-GEMM Pallas kernel for the wide-channel 3x3 stride-1 convs of the
 # 2D res stacks (ops/pallas_conv2d.py). Same gating — but the default is
 # OFF until the kernel has been compiled and timed on real TPU hardware:
@@ -271,6 +278,11 @@ def _conv_op(x: jnp.ndarray, w: jnp.ndarray, stride, ndim: int) -> jnp.ndarray:
         and pallas_conv2d.wc_conv2d_supported(x.shape, w.shape, tuple(stride))
     ):
         return pallas_conv2d.wc_conv2d(x, w)
+    if ndim == 2 and WINOGRAD_2D:
+        from rendernet_tpu.ops import winograd
+
+        if winograd.winograd3x3_supported(x.shape, w.shape, tuple(stride)):
+            return winograd.winograd3x3(x, w)
     return lax.conv_general_dilated(
         x,
         w,
