@@ -10,6 +10,12 @@ curriculum step, bf16, with the same OOM fallback ladder as bench.py
 (remat, then batch halving).
 
 One JSON line; record into benchmarks/results/texture_bench_r3.json.
+
+A/B knobs (env): RENDERNET_BENCH_FUSE_RESAMPLE=0 restores the reference's
+two independent resample passes (vs the default ONE pass over the
+channel-concatenated grid — exact same math, see train/steps.py);
+RENDERNET_BENCH_PALLAS3D=0/1 forces the conv3d dispatch (default "auto"
+= Pallas kernels on TPU where supported).
 """
 from __future__ import annotations
 
@@ -28,10 +34,20 @@ def measure(patch: int, batch: int):
 
     from rendernet_tpu.models.texture_face import TextureFaceConfig
     from rendernet_tpu.train.config import TrainConfig
+    from rendernet_tpu.train import steps as steps_mod
     from rendernet_tpu.train.steps import (
         create_texture_state,
         make_texture_train_step,
     )
+
+    env_fuse = os.environ.get("RENDERNET_BENCH_FUSE_RESAMPLE")
+    if env_fuse is not None:
+        steps_mod.FUSE_TEXTURE_RESAMPLE = bool(int(env_fuse))
+    env_p3d = os.environ.get("RENDERNET_BENCH_PALLAS3D")
+    if env_p3d is not None:
+        from rendernet_tpu.nn import layers
+
+        layers.PALLAS_CONV3D = bool(int(env_p3d))
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)
@@ -102,6 +118,14 @@ def main():
             "(decoder + dual resample + joint MSE), bf16, batch as "
             "reported after the OOM fallback ladder"
         ),
+        "config": {
+            "fuse_resample": os.environ.get(
+                "RENDERNET_BENCH_FUSE_RESAMPLE", "1(default)"
+            ),
+            "pallas3d": os.environ.get(
+                "RENDERNET_BENCH_PALLAS3D", "auto(default)"
+            ),
+        },
         "full512": measure(128, 24),
         "patch64": measure(64, 24),
     }

@@ -28,10 +28,15 @@ def main():
     import numpy as np
     from jax import lax
 
+    from rendernet_tpu.ops.pallas_winograd import wino_conv2d
     from rendernet_tpu.ops.winograd import winograd3x3
 
     rng = np.random.default_rng(0)
     DN = ("NHWC", "HWIO", "NHWC")
+    # which impls to time isolated: comma list from env (default all)
+    impls = os.environ.get(
+        "RENDERNET_BENCH_WINOGRAD_IMPLS", "xla,winograd,pallas"
+    ).split(",")
 
     def xla_conv(x, w):
         return lax.conv_general_dilated(x, w, (1, 1), "SAME",
@@ -55,7 +60,10 @@ def main():
             (rng.standard_normal((3, 3, c, c)) * 0.02).astype(np.float32)
         ).astype(jnp.bfloat16)
 
-        for name, fn in (("xla", xla_conv), ("winograd", winograd3x3)):
+        for name, fn in (("xla", xla_conv), ("winograd", winograd3x3),
+                         ("pallas", wino_conv2d)):
+            if name not in impls:
+                continue
             jf = jax.jit(fn)
             ms = timeit(jf, (x, w))
 
@@ -72,9 +80,13 @@ def main():
             }), flush=True)
 
     # end-to-end full-512 step with the dispatch flag on
+    # (RENDERNET_BENCH_WINOGRAD=xla|pallas|off selects the impl)
+    e2e = os.environ.get("RENDERNET_BENCH_WINOGRAD", "pallas")
+    if e2e == "off":
+        return
     from rendernet_tpu.nn import layers
 
-    layers.WINOGRAD_2D = True
+    layers.WINOGRAD_2D = e2e
     from rendernet_tpu.models.shader import ShaderConfig
     from rendernet_tpu.train.config import TrainConfig
     from rendernet_tpu.train.steps import (
@@ -107,11 +119,11 @@ def main():
         float(loss)
         dt = time.perf_counter() - t0
         print(json.dumps({
-            "step": "full512_winograd", "s_per_step": round(dt / n, 4),
+            "step": "full512_winograd_" + e2e, "s_per_step": round(dt / n, 4),
             "frames_per_s": round(batch * n / dt, 4),
         }), flush=True)
     except Exception as e:
-        print(json.dumps({"step": "full512_winograd",
+        print(json.dumps({"step": "full512_winograd_" + e2e,
                           "error": str(e)[:400]}), flush=True)
 
 

@@ -157,10 +157,15 @@ DEPTH_PACK = "auto"
 # at training shapes. Same "auto"/True/False gating as DEPTH_PACK.
 PALLAS_CONV3D = "auto"
 
-# Winograd F(2x2,3x3) for the wide-channel 3x3 stride-1 convs
-# (ops/winograd.py): 2.25x fewer MXU MACs, exact to transform roundoff.
-# OFF by default pending the on-TPU A/B (benchmarks/winograd_bench.py) and
-# a training-quality gate (bf16 transform rounding) — the one remaining
+# Winograd F(2x2,3x3) for the wide-channel 3x3 stride-1 convs: 2.25x
+# fewer MXU MACs, exact to transform roundoff. False | "xla" | "pallas"
+# (True == "xla" for back-compat). The "xla" expression (ops/winograd.py)
+# is a MEASURED NEGATIVE on TPU — 2.2-3.1x slower than the conv, the
+# transformed-activation HBM round-trip eats the MAC cut
+# (benchmarks/results/winograd_bench_r4.json); "pallas" is the fused
+# kernel (ops/pallas_winograd.py) that keeps the transforms in VMEM.
+# OFF by default pending the fused kernel's on-TPU A/B and a
+# training-quality gate (bf16 transform rounding) — the one remaining
 # lever on the conv-schedule-bound full-512 step (docs/performance.md).
 WINOGRAD_2D = False
 
@@ -279,10 +284,18 @@ def _conv_op(x: jnp.ndarray, w: jnp.ndarray, stride, ndim: int) -> jnp.ndarray:
     ):
         return pallas_conv2d.wc_conv2d(x, w)
     if ndim == 2 and WINOGRAD_2D:
-        from rendernet_tpu.ops import winograd
+        if WINOGRAD_2D == "pallas":
+            from rendernet_tpu.ops import pallas_winograd
 
-        if winograd.winograd3x3_supported(x.shape, w.shape, tuple(stride)):
-            return winograd.winograd3x3(x, w)
+            if pallas_winograd.wino_conv2d_supported(
+                x.shape, w.shape, tuple(stride)
+            ):
+                return pallas_winograd.wino_conv2d(x, w)
+        else:
+            from rendernet_tpu.ops import winograd
+
+            if winograd.winograd3x3_supported(x.shape, w.shape, tuple(stride)):
+                return winograd.winograd3x3(x, w)
     return lax.conv_general_dilated(
         x,
         w,
