@@ -94,11 +94,14 @@ def main():
         make_shader_train_step,
     )
 
-    batch = 24
+    batch = int(os.environ.get("RENDERNET_BENCH_BATCH", "24"))
     cfg = TrainConfig(batch_size=batch, img_res=512, new_size=128,
                       compute_dtype="bfloat16", is_greyscale=True,
                       e_eta=1e-5)
-    mc = ShaderConfig(preact_policy=True)
+    mc = ShaderConfig(
+        preact_policy=True,
+        remat=bool(int(os.environ.get("RENDERNET_BENCH_REMAT", "0"))),
+    )
     state, tx = create_shader_state(jax.random.PRNGKey(0), mc, cfg)
     step = make_shader_train_step(mc, cfg, tx, patch_size=128)
     voxels = jnp.asarray(

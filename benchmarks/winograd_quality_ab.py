@@ -94,7 +94,10 @@ def main():
             return
         from rendernet_tpu.nn import layers
 
-        layers.WINOGRAD_2D = arm == "winograd"
+        # train the winograd arm through the FUSED kernel (the deployable
+        # impl — the XLA expression is a measured perf negative; numerics
+        # are the same algorithm either way)
+        layers.WINOGRAD_2D = "pallas" if arm == "winograd" else False
         try:
             train_shader(make_cfg(arm), model_cfg, max_steps=args.steps)
         finally:
