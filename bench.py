@@ -54,6 +54,17 @@ def main() -> None:
         from rendernet_tpu.ops import pallas_conv2d
 
         pallas_conv2d.PRELU_SAVE_PRE = bool(int(env_prelu_pre))
+    # Fused-Winograd res-stack convs ("pallas"|"xla"|"off"). Measured
+    # 21.08 fps full-512 (vs 19.28 best XLA-conv config) with
+    # ShaderConfig.remat — winograd_bench_r4.json — and passed into the
+    # remat arm of the OOM ladder below (plain-jit winograd exceeds HBM:
+    # XLA cannot remat through the custom-call boundaries). Default per
+    # the training-quality gate benchmarks/winograd_quality_ab.py.
+    env_wino = os.environ.get("RENDERNET_BENCH_WINOGRAD", "pallas")
+    if env_wino != "off":
+        from rendernet_tpu.nn import layers
+
+        layers.WINOGRAD_2D = env_wino
 
     rng = np.random.default_rng(0)
 
@@ -110,8 +121,14 @@ def main() -> None:
             '{"xla_jf_rematerialization_percent_shared_memory_limit":"100"}',
         ) or "null")
 
+        # winograd convs NEED the remat arm at full-512 (plain jit
+        # exceeds HBM) — skip the known-failing compile instead of
+        # paying it; patch-64 fits either way
+        remat_ladder = (
+            (True,) if env_wino != "off" and patch >= 128 else (False, True)
+        )
         while True:
-            for remat in (False, True):
+            for remat in remat_ladder:
                 try:
                     step, state, batch_data = build(batch, patch, remat)
                     if copts:

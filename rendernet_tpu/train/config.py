@@ -87,9 +87,13 @@ class TrainConfig:
     skip_nonfinite_updates: int = 0
     # Adam moment-buffer storage dtype ("float32" | "bfloat16"). bf16
     # halves optimizer-state HBM (~0.95 GB at the 237 M-param shader net)
-    # — an opt-in activation-memory lever for the full-512 step; update
-    # arithmetic stays fp32 (train.optim.scale_by_adam_moments). Gated by
-    # the training-quality A/B in benchmarks/moments_quality_ab.py.
+    # but FAILED its training-quality gate: 4.6x worse held-in L1 after
+    # 200 identical-seed steps (benchmarks/results/
+    # moments_quality_ab_r4.json — Adam's nu spans orders of magnitude
+    # early; bf16's mantissa quantizes it into per-parameter LR noise).
+    # Keep float32 unless a stochastic-rounding/block-scaled store lands;
+    # update arithmetic is fp32 either way
+    # (train.optim.scale_by_adam_moments).
     # NOTE: toggling changes the optimizer-state pytree (same checkpoint
     # caveat as skip_nonfinite_updates).
     moment_dtype: str = "float32"
