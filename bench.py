@@ -49,18 +49,32 @@ def main() -> None:
         from rendernet_tpu.nn import layers
 
         layers.PALLAS_CONV2D = bool(int(env_pallas2d))
+    env_ph3d = os.environ.get("RENDERNET_BENCH_PHASE3D")
+    if env_ph3d is not None:
+        from rendernet_tpu.nn import layers
+
+        layers.PHASE_CONV3D = bool(int(env_ph3d))
     env_prelu_pre = os.environ.get("RENDERNET_BENCH_PRELU_PRE")
     if env_prelu_pre is not None:
         from rendernet_tpu.ops import pallas_conv2d
 
         pallas_conv2d.PRELU_SAVE_PRE = bool(int(env_prelu_pre))
-    # Fused-Winograd res-stack convs ("pallas"|"xla"|"off"). Measured
-    # 21.08 fps full-512 (vs 19.28 best XLA-conv config) with
-    # ShaderConfig.remat — winograd_bench_r4.json — and passed into the
-    # remat arm of the OOM ladder below (plain-jit winograd exceeds HBM:
-    # XLA cannot remat through the custom-call boundaries). Default per
-    # the training-quality gate benchmarks/winograd_quality_ab.py.
-    env_wino = os.environ.get("RENDERNET_BENCH_WINOGRAD", "pallas")
+    # Fused-Winograd res-stack convs ("pallas"|"xla"|"off"). The pallas
+    # kernel measures 21.08 fps full-512 (vs 19.28 best XLA-conv config,
+    # winograd_bench_r4.json). Default follows the training-quality gate
+    # benchmarks/winograd_quality_ab.py under its FIXED round-5 protocol
+    # (lr 2e-5 / 400 steps / liveness-asserted arms — the round-4-era
+    # lr 1e-4 runs saturation-collapsed one arm and their verdicts were
+    # artifacts; see winograd_quality_ab_r5.json and the postmortem in
+    # docs/performance.md). The default and this comment are updated in
+    # the same commit as the artifact.
+    env_wino = os.environ.get("RENDERNET_BENCH_WINOGRAD", "off")
+    if env_wino not in ("pallas", "xla", "off"):
+        raise SystemExit(
+            f"RENDERNET_BENCH_WINOGRAD={env_wino!r}: must be one of "
+            "'pallas' (fused kernel), 'xla' (measured-negative expression), "
+            "'off' (plain XLA convs)"
+        )
     if env_wino != "off":
         from rendernet_tpu.nn import layers
 

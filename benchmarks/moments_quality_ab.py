@@ -11,7 +11,17 @@ A/B for the multipass resample (resample_quality_ab.py /
 benchmarks/results/resample_quality_ab_r2.json): identical seed, data and
 steps in both arms; both arms evaluated with one shared eval executable.
 
-Usage: python benchmarks/moments_quality_ab.py [--steps 200] [--out DIR]
+PROTOCOL REGIME (round-5 saturation-death postmortem,
+docs/performance.md): the round-4 run of this A/B at lr 1e-4 / 200 steps
+produced an INVALID verdict — its fp32 arm had saturation-collapsed
+(every sigmoid output exactly 0, gradients identically zero, params
+bit-frozen at the all-black eval floor L1 0.1144) while the bf16 arm was
+still moving, so the 4.6x "FAIL" compared a dead net to a live one.
+Defaults now use the resample A/B's validated stable regime (lr 2e-5,
+400 steps) and the eval stage asserts each arm is ALIVE (one extra train
+step must move the restored params) before any verdict is emitted.
+
+Usage: python benchmarks/moments_quality_ab.py [--steps 400] [--out DIR]
                                                [--stage all|train-fp32|
                                                 train-bf16|eval]
 Stages let each phase run in a FRESH process (long-lived processes that
@@ -30,10 +40,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=200)
-    p.add_argument("--out", type=str, default="/tmp/moments_ab")
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--out", type=str, default="/tmp/moments_ab_v2")
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr", type=float, default=2e-5)
     p.add_argument("--stage", default="all",
                    choices=["all", "train-fp32", "train-bf16", "eval"])
     args = p.parse_args()
@@ -131,9 +141,47 @@ def main():
             )
         return float(np.mean(l1s))
 
+    def assert_alive(md, state):
+        """One train step from the restored checkpoint must MOVE params —
+        a saturation-dead arm (identically-zero gradients) freezes and
+        would otherwise silently masquerade as a trained model."""
+        from rendernet_tpu.train.steps import (
+            create_shader_state,
+            make_shader_train_step,
+        )
+
+        cfg = make_cfg(md)
+        _, tx = create_shader_state(jax.random.PRNGKey(0), model_cfg, cfg)
+        step = make_shader_train_step(model_cfg, cfg, tx, patch_size=128)
+        loader = data_loader(
+            tar, mdir, batch_size=args.batch, validation_mode=True,
+            flatten=True, img_res=512, voxel_res=64,
+        )
+        images, voxels, poses, _ = next(iter(loader))
+        st2, loss = step(state, jnp.asarray(voxels),
+                         jnp.asarray(images / 255.0), jnp.asarray(poses),
+                         jax.random.PRNGKey(99))
+        delta = max(
+            float(jnp.abs(st2.params[k].astype(jnp.float32)
+                          - state.params[k].astype(jnp.float32)).max())
+            for k in state.params
+        )
+        alive = delta > 1e-9 and np.isfinite(float(loss))
+        print(json.dumps({"event": "liveness", "moments": md,
+                          "max_param_delta": delta,
+                          "train_loss": float(loss), "alive": alive}),
+              flush=True)
+        if not alive:
+            raise SystemExit(
+                f"arm {md!r} is DEAD at its checkpoint (max param delta "
+                f"{delta:.3e} after one train step) — the A/B verdict "
+                "would be an artifact; lower --lr (see module docstring)"
+            )
+
     results = {}
     for md in ("float32", "bfloat16"):
         state = restore(md)
+        assert_alive(md, state)
         results[md] = eval_l1(state.params)
         print(json.dumps({"event": "evaluated", "moments": md,
                           "l1": results[md]}), flush=True)
@@ -142,6 +190,9 @@ def main():
     out = {
         "bench": "moments_quality_ab",
         "steps": args.steps,
+        "lr": args.lr,
+        "batch": args.batch,
+        "liveness": "both arms verified alive at eval (see module docstring)",
         "eval_l1_fp32_moments": round(results["float32"], 5),
         "eval_l1_bf16_moments": round(results["bfloat16"], 5),
         "l1_ratio_bf16_over_fp32": round(

@@ -38,6 +38,14 @@ def main() -> None:
         layers.PALLAS_CONV2D = bool(
             int(os.environ["RENDERNET_BENCH_PALLAS2D"])
         )
+    # Winograd is a legitimate SERVING lever even though it failed the
+    # TRAINING quality gate (winograd_quality_ab_r5.json): inference
+    # through fixed trained weights sees only the bounded ~0.5% per-op
+    # forward rounding, no compounding. "pallas" | "xla" | unset=off.
+    if os.environ.get("RENDERNET_BENCH_WINOGRAD") in ("pallas", "xla"):
+        from rendernet_tpu.nn import layers
+
+        layers.WINOGRAD_2D = os.environ["RENDERNET_BENCH_WINOGRAD"]
 
     from rendernet_tpu.models.shader import (
         ShaderConfig,

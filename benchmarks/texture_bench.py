@@ -48,6 +48,11 @@ def measure(patch: int, batch: int):
         from rendernet_tpu.nn import layers
 
         layers.PALLAS_CONV3D = bool(int(env_p3d))
+    env_ph3d = os.environ.get("RENDERNET_BENCH_PHASE3D")
+    if env_ph3d is not None:
+        from rendernet_tpu.nn import layers
+
+        layers.PHASE_CONV3D = bool(int(env_ph3d))
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)

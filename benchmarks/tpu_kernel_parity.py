@@ -83,6 +83,40 @@ def main() -> int:
         got3 = jax.jit(pc3.nc_conv3d)(x3, w3)
         ok &= check("conv3d_fwd_b4_32cube_32ch", got3, ref3, 2e-2)
 
+    # --- fused winograd vs XLA conv (fwd + gx; gw is XLA's in both) ------
+    # Per-op bound only: ~1.7x the conv's bf16 rounding (0.005 vs 0.003
+    # max-rel at these shapes). The TRAINING-quality consequence of that
+    # amplification is a measured FAIL (winograd_quality_ab_r5.json).
+    from rendernet_tpu.ops import pallas_winograd as pwg
+
+    for b, hw, c in ((8, 64, 1024), (4, 64, 512)):
+        xw = jnp.asarray(rng.standard_normal((b, hw, hw, c)), jnp.bfloat16)
+        ww = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.02,
+                         jnp.bfloat16)
+        assert pwg.wino_conv2d_supported(xw.shape, ww.shape, (1, 1),
+                                         dtype=xw.dtype)
+        refw = jax.jit(lambda x, w: lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32))(xw, ww)
+        gotw = jax.jit(pwg.wino_conv2d)(xw, ww)
+        ok &= check(f"winograd_fwd_b{b}_hw{hw}_c{c}", gotw, refw, 2e-2)
+
+        def loss_w(fn):
+            return jax.jit(jax.grad(
+                lambda x, w: jnp.sum(fn(x, w).astype(jnp.float32) ** 2),
+                argnums=(0, 1)))
+
+        def xla2dw(x, w):
+            return lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        gxw, gww = loss_w(pwg.wino_conv2d)(xw, ww)
+        rxw, rww = loss_w(xla2dw)(xw, ww)
+        ok &= check(f"winograd_gx_b{b}_hw{hw}_c{c}", gxw, rxw, 4e-2)
+        ok &= check(f"winograd_gw_b{b}_hw{hw}_c{c}", gww, rww, 4e-2)
+
     # --- multipass resample vs exact trilinear ----------------------------
     vox = jnp.asarray((rng.random((2, 64, 64, 64, 1)) > 0.7), jnp.float32)
     pose = jnp.asarray(

@@ -8,7 +8,20 @@ the same validation quality? Same protocol as the resample and moments
 A/Bs: identical seed, data and steps in both arms; both arms evaluated
 with one shared (XLA-conv) eval executable.
 
-Usage: python benchmarks/winograd_quality_ab.py [--steps 200] [--out DIR]
+PROTOCOL REGIME (round-5 lesson, the saturation-death postmortem in
+docs/performance.md): at lr 1e-4 the summed-BCE 512px shader run
+COLLAPSES — bf16 sigmoid saturation drives every output to exactly 0,
+gradients become identically zero, and the arm freezes at the all-black
+eval floor (L1 0.1144 on this dataset) while LOOKING "trained". Two
+round-4/5 gate verdicts were artifacts of comparing a dead arm to a live
+one. Defaults are therefore the resample A/B's validated stable regime
+(lr 2e-5, 400 steps — both arms converge to ~0.013-0.019 L1, far below
+the floor), and the eval stage ASSERTS LIVENESS of each arm: one extra
+train step must move the restored params, and the eval render must not
+be saturation-pinned. A gate verdict without live arms is an error, not
+a result.
+
+Usage: python benchmarks/winograd_quality_ab.py [--steps 400] [--out DIR]
                                                [--stage all|train-xla|
                                                 train-winograd|eval]
 Stages let each phase run in a FRESH process (long-lived processes that
@@ -27,10 +40,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=200)
-    p.add_argument("--out", type=str, default="/tmp/winograd_ab")
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--out", type=str, default="/tmp/winograd_ab_v2")
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr", type=float, default=2e-5)
     p.add_argument("--stage", default="all",
                    choices=["all", "train-xla", "train-winograd", "eval"])
     args = p.parse_args()
@@ -125,6 +138,7 @@ def main():
 
     def eval_l1(params):
         l1s = []
+        sat = []
         loader = data_loader(
             tar, mdir, batch_size=args.batch, validation_mode=True,
             flatten=True, img_res=512, voxel_res=64,
@@ -134,19 +148,64 @@ def main():
             l1s.append(
                 float(jnp.mean(jnp.abs(jnp.asarray(images / 255.0) - pred)))
             )
-        return float(np.mean(l1s))
+            sat.append(float(jnp.mean(
+                (pred <= 1e-6) | (pred >= 1.0 - 1e-6)
+            )))
+        return float(np.mean(l1s)), float(np.mean(sat))
+
+    def assert_alive(arm, state):
+        """One train step from the restored checkpoint must MOVE params —
+        a saturation-dead arm (identically-zero gradients) freezes and
+        would otherwise silently masquerade as a trained model."""
+        from rendernet_tpu.train.steps import (
+            create_shader_state,
+            make_shader_train_step,
+        )
+
+        cfg = make_cfg(arm)
+        _, tx = create_shader_state(jax.random.PRNGKey(0), model_cfg, cfg)
+        step = make_shader_train_step(model_cfg, cfg, tx, patch_size=128)
+        loader = data_loader(
+            tar, mdir, batch_size=args.batch, validation_mode=True,
+            flatten=True, img_res=512, voxel_res=64,
+        )
+        images, voxels, poses, _ = next(iter(loader))
+        st2, loss = step(state, jnp.asarray(voxels),
+                         jnp.asarray(images / 255.0), jnp.asarray(poses),
+                         jax.random.PRNGKey(99))
+        delta = max(
+            float(jnp.abs(st2.params[k].astype(jnp.float32)
+                          - state.params[k].astype(jnp.float32)).max())
+            for k in state.params
+        )
+        alive = delta > 1e-9 and np.isfinite(float(loss))
+        print(json.dumps({"event": "liveness", "arm": arm,
+                          "max_param_delta": delta,
+                          "train_loss": float(loss), "alive": alive}),
+              flush=True)
+        if not alive:
+            raise SystemExit(
+                f"arm {arm!r} is DEAD at its checkpoint (max param delta "
+                f"{delta:.3e} after one train step) — the A/B verdict "
+                "would be an artifact; lower --lr (see module docstring)"
+            )
 
     results = {}
     for arm in ("xla", "winograd"):
         state = restore(arm)
-        results[arm] = eval_l1(state.params)
+        assert_alive(arm, state)
+        results[arm], sat_frac = eval_l1(state.params)
         print(json.dumps({"event": "evaluated", "arm": arm,
-                          "l1": results[arm]}), flush=True)
+                          "l1": results[arm],
+                          "saturated_frac": round(sat_frac, 4)}), flush=True)
         del state
 
     out = {
         "bench": "winograd_quality_ab",
         "steps": args.steps,
+        "lr": args.lr,
+        "batch": args.batch,
+        "liveness": "both arms verified alive at eval (see module docstring)",
         "eval_l1_xla_trained": round(results["xla"], 5),
         "eval_l1_winograd_trained": round(results["winograd"], 5),
         "l1_ratio_winograd_over_xla": round(

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from rendernet_tpu.nn import init as initializers
-from rendernet_tpu.ops import pallas_conv2d, pallas_conv3d
+from rendernet_tpu.ops import pallas_conv2d, pallas_conv3d, phase_conv
 
 Params = Dict[str, jnp.ndarray]
 
@@ -157,16 +157,29 @@ DEPTH_PACK = "auto"
 # at training shapes. Same "auto"/True/False gating as DEPTH_PACK.
 PALLAS_CONV3D = "auto"
 
+# Phase-space (space-to-depth) rewrite of the STRIDED encoder conv3ds
+# (ops/phase_conv.py): exact math, one dense stride-1 conv at the
+# decimated resolution instead of a strided conv at 128^3 — kills the
+# input-dilated dgrad that is the texture step's single biggest traced
+# op (44 ms, docs/performance.md). "auto" = on for the TPU backend;
+# default decided by the end-to-end A/B in benchmarks/texture_bench.py.
+PHASE_CONV3D = False
+
 # Winograd F(2x2,3x3) for the wide-channel 3x3 stride-1 convs: 2.25x
 # fewer MXU MACs, exact to transform roundoff. False | "xla" | "pallas"
 # (True == "xla" for back-compat). The "xla" expression (ops/winograd.py)
 # is a MEASURED NEGATIVE on TPU — 2.2-3.1x slower than the conv, the
 # transformed-activation HBM round-trip eats the MAC cut
 # (benchmarks/results/winograd_bench_r4.json); "pallas" is the fused
-# kernel (ops/pallas_winograd.py) that keeps the transforms in VMEM.
-# OFF by default pending the fused kernel's on-TPU A/B and a
-# training-quality gate (bf16 transform rounding) — the one remaining
-# lever on the conv-schedule-bound full-512 step (docs/performance.md).
+# kernel (ops/pallas_winograd.py) that keeps the transforms in VMEM and
+# measures 1.60x over the XLA conv at the res2 shape / 21.08 fps
+# full-512. Default gated by the training-quality A/B
+# (benchmarks/winograd_quality_ab.py, fixed round-5 protocol: stable lr
+# + liveness-asserted arms — the earlier lr-1e-4 FAIL was an artifact of
+# a saturation-dead comparison arm; postmortem in docs/performance.md,
+# verdict artifact winograd_quality_ab_r5.json). Per-op numerics are
+# bounded on-chip: ~1.7x the conv's bf16 rounding, no correctness bug
+# (benchmarks/tpu_kernel_parity.py winograd checks).
 WINOGRAD_2D = False
 
 # Implicit-GEMM Pallas kernel for the wide-channel 3x3 stride-1 convs of the
@@ -273,6 +286,15 @@ def _conv_op(x: jnp.ndarray, w: jnp.ndarray, stride, ndim: int) -> jnp.ndarray:
         x.shape, w.shape, tuple(stride)
     ):
         return pallas_conv3d.nc_conv3d(x, w)
+    phase = (
+        PHASE_CONV3D
+        if PHASE_CONV3D != "auto"
+        else jax.default_backend() == "tpu"
+    )
+    if ndim == 3 and phase and phase_conv.phase_conv3d_supported(
+        x.shape, w.shape, tuple(stride)
+    ):
+        return phase_conv.phase_conv3d(x, w, tuple(stride))
     if ndim == 3 and pack:
         f = _depth_pack_factor(x, w, stride)
         if f > 1:
@@ -288,7 +310,7 @@ def _conv_op(x: jnp.ndarray, w: jnp.ndarray, stride, ndim: int) -> jnp.ndarray:
             from rendernet_tpu.ops import pallas_winograd
 
             if pallas_winograd.wino_conv2d_supported(
-                x.shape, w.shape, tuple(stride)
+                x.shape, w.shape, tuple(stride), dtype=x.dtype
             ):
                 return pallas_winograd.wino_conv2d(x, w)
         else:

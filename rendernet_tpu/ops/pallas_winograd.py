@@ -92,7 +92,11 @@ def _vmem_bytes(nw, bb, cch, bn, th, xbytes):
 
 def _tiles(h, w, b, cch, co, xbytes):
     """(bn, bb, th) fitting VMEM, or None. Prefers large bn (fewer x
-    sweeps), then large bb (bigger GEMM M = nw*bb)."""
+    sweeps), then SMALL bb — bb ascends so the first fit is the smallest
+    batch block: GEMM M = nw*bb is already MXU-deep at bb=8 for the res
+    shapes (nw=32 -> M=256) and a small bb keeps the fp32 accumulator
+    footprint down, which is what lets bn=512 fit. (The round-5 tiling
+    sweep measures the alternatives via TILE_OVERRIDE.)"""
     if TILE_OVERRIDE is not None:
         return TILE_OVERRIDE
     nw = w // 2
@@ -111,8 +115,12 @@ def _tiles(h, w, b, cch, co, xbytes):
     return None
 
 
-def wino_conv2d_supported(x_shape, w_shape, stride) -> bool:
-    """Envelope: SAME 3x3 stride-1, even H/W, lane-aligned wide channels."""
+def wino_conv2d_supported(x_shape, w_shape, stride, dtype=jnp.bfloat16) -> bool:
+    """Envelope: SAME 3x3 stride-1, even H/W, lane-aligned wide channels.
+
+    ``dtype`` is the activation dtype the call will actually run in — the
+    tiling fit depends on its itemsize, and the backward's data grad runs
+    the kernel with ci/co SWAPPED, so both orientations must tile."""
     if len(x_shape) != 4 or len(w_shape) != 4:
         return False
     kh, kw, ci, co = w_shape
@@ -123,7 +131,11 @@ def wino_conv2d_supported(x_shape, w_shape, stride) -> bool:
         return False
     if h % 2 or w % 2:
         return False
-    return _tiles(h, w, b, ci, co, 2) is not None
+    xbytes = jnp.dtype(dtype).itemsize
+    return (
+        _tiles(h, w, b, ci, co, xbytes) is not None
+        and _tiles(h, w, b, co, ci, xbytes) is not None
+    )
 
 
 def _kernel(u_ref, *refs, nw, bb, cch, bn, th, out_dtype):
@@ -282,10 +294,20 @@ def _bwd(res, gy):
     x, w = res
     gy = gy.astype(x.dtype)
     # data grad: Winograd conv of gy with the flipped, io-swapped kernel
-    # (exact adjoint for SAME/stride-1; stays in-envelope since co and ci
-    # are both 128-multiples)
+    # (exact adjoint for SAME/stride-1). The supported() gate checks the
+    # swapped ci/co tiling too, but an unchecked call (TILE_OVERRIDE, or
+    # a caller bypassing the gate) may only tile forward — fall back to
+    # XLA's transposed conv for the dgrad then.
     wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
-    gx = _wino_expr(gy, wt)
+    b_, h_, wd_, cg = gy.shape
+    if _tiles(h_, wd_, b_, cg, wt.shape[-1],
+              jnp.dtype(gy.dtype).itemsize) is not None:
+        gx = _wino_expr(gy, wt)
+    else:
+        gx = lax.conv_general_dilated(
+            gy, wt, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     # weight grad: XLA's own conv wgrad lowering (Winograd's MAC cut does
     # not apply to the [3,3] wgrad shape; XLA is at roofline there)
     _, conv_vjp = jax.vjp(

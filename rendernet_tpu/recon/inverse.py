@@ -77,6 +77,11 @@ class ReconConfig:
     theta_range0: float = 30.0
     phi_mid0: float = 270.0
     theta_mid0: float = 90.0
+    # Hypothesis-grid shape: "cross" (axis-decoupled — the default; fixes
+    # the measured elevation-stall of the reference's grid) or "corners"
+    # (the reference's exact 5-point X, Reconstruct_RenderNet_Face.py:
+    # 304-318). See create_param_center.
+    grid_shape: str = "cross"
 
 
 class Latents(NamedTuple):
@@ -212,10 +217,29 @@ def create_param_center(
     theta_mid: float,
     theta_range: float,
     batch_size: int = 5,
+    shape: str = "corners",
 ) -> np.ndarray:
     """5 pose hypotheses spanning the current search box (degrees in,
-    radians out) — semantics of Reconstruct_RenderNet_Face.py:304-318
-    including the %360 azimuth wrap and the theta->elevation mapping."""
+    radians out).
+
+    ``shape="corners"`` is the reference's grid
+    (Reconstruct_RenderNet_Face.py:304-318, including the %360 azimuth
+    wrap and the theta->elevation mapping): the four box corners plus the
+    center — an "X". Its failure mode, measured at reference scale
+    (inverse_render_refscale_trained_r4.json): theta only ever appears
+    PAIRED with a phi corner, so once azimuth has converged (it does,
+    via the pose gradient) every off-center-theta hypothesis also
+    carries a wrong azimuth and loses the best-of-batch selection — the
+    box then halves around a wrong elevation forever (el err 8.6° ->
+    9.4° over 10 epochs).
+
+    ``shape="cross"`` decouples the axes: (phi±range/2, theta_mid),
+    center, (phi_mid, theta±range/2) — a "+". Per-axis selection then
+    bisects each angle independently: picking the nearer theta arm each
+    epoch while the box halves converges theta like binary search, with
+    azimuth held at its converged value. Same budget, same count of
+    hypotheses.
+    """
     phi_min = ((phi_mid - phi_range * 0.5) % 360) * math.pi / 180.0
     phi_max = ((phi_mid + phi_range * 0.5) % 360) * math.pi / 180.0
     theta_min = (90 - (theta_mid - theta_range * 0.5)) * math.pi / 180.0
@@ -224,13 +248,24 @@ def create_param_center(
     theta_mid_r = (90 - theta_mid) * math.pi / 180.0
 
     params = np.zeros((batch_size, 3), np.float32)
-    grid = [
-        (phi_min, theta_min),
-        (phi_min, theta_max),
-        (phi_mid_r, theta_mid_r),
-        (phi_max, theta_min),
-        (phi_max, theta_max),
-    ]
+    if shape == "corners":
+        grid = [
+            (phi_min, theta_min),
+            (phi_min, theta_max),
+            (phi_mid_r, theta_mid_r),
+            (phi_max, theta_min),
+            (phi_max, theta_max),
+        ]
+    elif shape == "cross":
+        grid = [
+            (phi_min, theta_mid_r),
+            (phi_max, theta_mid_r),
+            (phi_mid_r, theta_mid_r),
+            (phi_mid_r, theta_min),
+            (phi_mid_r, theta_max),
+        ]
+    else:
+        raise ValueError(f"unknown grid shape {shape!r}")
     for i in range(batch_size):
         phi, theta = grid[i % len(grid)]
         params[i] = (phi, theta, 1.0)
@@ -243,7 +278,7 @@ def initial_latents(cfg: ReconConfig, seed: int = 0) -> Latents:
     rng = np.random.default_rng(seed)
     pose = create_param_center(
         cfg.phi_mid0, cfg.phi_range0, cfg.theta_mid0, cfg.theta_range0,
-        cfg.batch_size,
+        cfg.batch_size, shape=cfg.grid_shape,
     )
     light = np.linspace(230, 320, num=cfg.batch_size)[:, None] * math.pi / 180.0
     return Latents(
@@ -265,7 +300,7 @@ def subdivided_latents(
     phi_mid = float(best_pose_deg[0])
     theta_mid = 90.0 - float(best_pose_deg[1])
     pose = create_param_center(phi_mid, phi_range, theta_mid, theta_range,
-                               cfg.batch_size)
+                               cfg.batch_size, shape=cfg.grid_shape)
     tile = lambda x: jnp.tile(jnp.asarray(x)[best_idx][None], (cfg.batch_size, 1))
     return Latents(
         vector=tile(best.vector),

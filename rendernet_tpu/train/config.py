@@ -85,6 +85,12 @@ class TrainConfig:
     # directory checkpointed with the other setting will not auto-resume;
     # start a fresh run dir (params migrate via params_latest.npz).
     skip_nonfinite_updates: int = 0
+    # Warn (metrics.jsonl event "dead_training_warning") when parameters
+    # stop changing between logging points — the all-finite failure mode
+    # the non-finite guards cannot see: bf16 sigmoid saturation zeroes
+    # every gradient and freezes the run while the loss stays finite
+    # (round-5 postmortem, docs/performance.md).
+    dead_step_warn: bool = True
     # Adam moment-buffer storage dtype ("float32" | "bfloat16"). bf16
     # halves optimizer-state HBM (~0.95 GB at the 237 M-param shader net)
     # but FAILED its training-quality gate: 4.6x worse held-in L1 after

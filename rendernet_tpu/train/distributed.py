@@ -7,14 +7,17 @@ by XLA as ICI collectives when the jitted step consumes sharded batches with
 replicated params. No hand-written collectives are needed, but the
 all-reduce is NOT tiny: the shader net measures 237 M params, a ~1.66 GB
 fp32 gradient all-reduce per step (benchmarks/results/scaling_model_r3.json).
-Within a slice that rides ICI and stays <2% of the step even unoverlapped;
-across hosts it crosses DCN once per slice (hybrid mesh below) where the
-zero-overlap bound on the short patch-64 step is ~80% — so efficiency there
-rests on XLA's latency-hiding scheduler overlapping the all-reduce into the
-backward pass (evidence: benchmarks/overlap_check.py inspects the compiled
-HLO for async all-reduce-start/done spans), with bf16 gradient all-reduce
-(``TrainConfig.allreduce_dtype``) as the measured fallback that halves
-t_comm if a deployment's scheduler does not overlap.
+Within a slice that rides ICI and stays <2% of the step even unoverlapped.
+Across hosts it crosses DCN once per slice (hybrid mesh below), and the
+scaling case rests on the MEASURED zero-overlap bound, not on collective
+overlap: benchmarks/overlap_check.py found `n_async=0` in the compiled
+HLO even with the latency-hiding-scheduler flags
+(benchmarks/results/overlap_check_v5e_r4.json), so the >85% two-host
+north star is carried by bf16 gradient all-reduce
+(``TrainConfig.allreduce_dtype``, measured bytes) plus the step's own
+length: 93.9% at patch-64 and 98.5% at full-512 with zero overlap
+(scaling_model_r4.json). If a future XLA version does emit async
+all-reduce spans, that is upside on top of the bound, not a dependency.
 
 Multi-host: ``initialize_multihost`` brings up the jax.distributed runtime
 (coordinator handshake), ``make_hybrid_mesh`` lays the data axis out

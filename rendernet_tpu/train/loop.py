@@ -323,6 +323,27 @@ def train_shader(
                     if cfg.skip_nonfinite_updates > 0:
                         # catches non-finite grads under a finite loss
                         _halt_if_rejecting(cfg, run, state, global_step, epoch)
+                    if cfg.dead_step_warn:
+                        # Saturation-death detection (round-5 postmortem,
+                        # docs/performance.md): a net whose sigmoid outputs
+                        # all saturate has IDENTICALLY-ZERO gradients —
+                        # finite loss, frozen params — which no
+                        # non-finite guard can see. Fingerprint one
+                        # param leaf at each logging point; two identical
+                        # fingerprints in a row means updates stopped.
+                        k0 = next(iter(state.params))
+                        fp = float(
+                            jnp.abs(state.params[k0].astype(jnp.float32)).sum()
+                        )
+                        if fp == getattr(run, "_last_fp", None):
+                            run.log(
+                                step=global_step, epoch=epoch,
+                                event="dead_training_warning",
+                                detail="params unchanged since the last "
+                                       "logging point — zero-update steps "
+                                       "(saturated outputs?); lower the lr",
+                            )
+                        run._last_fp = fp
                     pred = eval_step(state.params, batch[0], batch[2])
                     run.dump_pair(
                         f"train_{names[i * local_bs]}",

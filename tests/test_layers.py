@@ -296,3 +296,76 @@ def test_preact_res_block_relu_matches_base(rng):
         for k in gbase:
             np.testing.assert_allclose(np.asarray(g[k]), np.asarray(gbase[k]),
                                        rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+@pytest.mark.parametrize(
+    "shape,kern,stride,co",
+    [
+        ((2, 16, 16, 16, 1), (5, 5, 5), (2, 2, 2), 8),   # shader e_conv1
+        ((2, 16, 16, 16, 5), (5, 5, 5), (2, 2, 2), 8),   # texture e_conv1
+        ((2, 8, 8, 16, 8), (3, 3, 3), (1, 1, 2), 16),    # e_conv2
+        ((1, 8, 8, 8, 4), (4, 4, 4), (2, 2, 2), 8),      # even kernel
+        ((1, 12, 8, 8, 3), (3, 3, 3), (3, 1, 2), 8),     # mixed stride 3
+    ],
+)
+def test_phase_conv3d_matches_strided_conv(rng, shape, kern, stride, co):
+    """The phase-space rewrite of a strided SAME conv (ops/phase_conv.py)
+    is EXACT vs lax.conv_general_dilated — values and both gradients —
+    at the encoder shapes it exists for (RenderNet_Shader.py:36-47 /
+    RenderNet_Texture_Face_Normal.py:48-60 scaled down)."""
+    import jax
+    from jax import lax
+
+    from rendernet_tpu.ops.phase_conv import (
+        phase_conv3d,
+        phase_conv3d_supported,
+    )
+
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal(kern + (shape[-1], co)).astype(np.float32) * 0.1
+    )
+    assert phase_conv3d_supported(x.shape, w.shape, stride)
+
+    def ref(x, w):
+        return lax.conv_general_dilated(
+            x, w, stride, "SAME", dimension_numbers=("NHWDC", "HWDIO", "NHWDC")
+        )
+
+    got = phase_conv3d(x, w, stride)
+    want = ref(x, w)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    gy = jnp.asarray(rng.standard_normal(want.shape).astype(np.float32))
+    gx1, gw1 = jax.vjp(lambda x, w: phase_conv3d(x, w, stride), x, w)[1](gy)
+    gx2, gw2 = jax.vjp(ref, x, w)[1](gy)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=2e-5, atol=3e-5)
+
+
+def test_phase_conv3d_dispatch_in_conv_op(rng):
+    """With PHASE_CONV3D forced on, _conv_op's strided-conv output is
+    unchanged (exact rewrite) for the e_conv1-shaped call."""
+    from jax import lax
+
+    from rendernet_tpu.nn import layers
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 5)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((5, 5, 5, 5, 8)).astype(np.float32) * 0.1
+    )
+    old = layers.PHASE_CONV3D
+    try:
+        layers.PHASE_CONV3D = True
+        got = layers._conv_op(x, w, (2, 2, 2), 3)
+    finally:
+        layers.PHASE_CONV3D = old
+    want = lax.conv_general_dilated(
+        x, w, (2, 2, 2), "SAME", dimension_numbers=("NHWDC", "HWDIO", "NHWDC")
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -75,3 +75,23 @@ def test_texture_loop_end_to_end(tmp_path):
     state = train_texture(cfg, TextureFaceConfig(new_size=32), max_steps=1)
     assert int(state.step) == 1
     assert (tmp_path / "trun" / "metrics.jsonl").exists()
+
+
+def test_dead_training_warning_fires_on_frozen_params(shader_data, tmp_path):
+    """Failure detection for the all-finite death mode (round-5
+    postmortem, docs/performance.md): when parameters stop changing
+    between logging points — here forced with e_eta=0, in the wild via
+    bf16 sigmoid saturation zeroing every gradient — the loop emits a
+    dead_training_warning event. A live run (normal lr) must not."""
+    cfg = _cfg(shader_data, tmp_path, e_eta=0.0, sample_every_steps=1,
+               max_epochs=4)
+    train_shader(cfg, ShaderConfig(new_size=32), max_steps=4)
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert any(m.get("event") == "dead_training_warning" for m in metrics)
+
+    cfg2 = _cfg(shader_data, tmp_path, e_eta=1e-4, sample_every_steps=1,
+                max_epochs=4, sample_save=str(tmp_path / "run2"))
+    train_shader(cfg2, ShaderConfig(new_size=32), max_steps=4)
+    metrics2 = [json.loads(l)
+                for l in open(tmp_path / "run2" / "metrics.jsonl")]
+    assert not any(m.get("event") == "dead_training_warning" for m in metrics2)

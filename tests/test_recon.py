@@ -192,6 +192,70 @@ def test_reconstruct_pose_error_shrinks_across_epochs():
     assert errs[-1] < 10.0, errs
 
 
+def test_cross_grid_recovers_elevation_where_corners_stall():
+    """Regression pin for the round-4 refscale failure
+    (inverse_render_refscale_trained_r4.json: az 0.26° but el stuck at
+    8.6–9.4° over 10 epochs). Scenario: azimuth already at the box
+    center, true elevation offset INSIDE the theta box. The reference's
+    "corners" grid only offers off-center thetas paired with wrong-phi
+    corners, so best-of-batch keeps the (wrong-el) center and the box
+    halves around it; the "cross" grid offers theta arms at the correct
+    azimuth and bisects elevation down. Geometric silhouette forward =
+    same machinery, pose-identifiable ranking (see
+    test_reconstruct_pose_error_shrinks_across_epochs)."""
+    import dataclasses
+
+    from rendernet_tpu.io import load_binvox
+    from rendernet_tpu.ops.resample import rotate_resample_to_camera
+    from rendernet_tpu.ops.transforms import silhouette
+
+    vox = load_binvox("/root/reference/binvox/chair.binvox").astype(np.float32)
+
+    true_el_deg = 9.0  # the r4 stall magnitude
+    true_pose = np.array(
+        [[270.0 * math.pi / 180.0, true_el_deg * math.pi / 180.0, 1.0]],
+        np.float32,
+    )
+
+    def run(grid_shape, batch_size):
+        cfg = dataclasses.replace(
+            CFG, inner_steps=4, max_epochs=5, pose_eta=0.0005,
+            grid_shape=grid_shape, batch_size=batch_size,
+        )
+        vox_b = jnp.asarray(np.broadcast_to(
+            vox[None, :, :, :, None], (batch_size,) + vox.shape + (1,)
+        ))
+
+        def sil_loss(model, latents, target, cfg):
+            cam = rotate_resample_to_camera(
+                vox_b, latents.pose, new_size=cfg.new_size
+            )
+            return jnp.mean((silhouette(cam) - target) ** 2, axis=(1, 2, 3))
+
+        cam_t = rotate_resample_to_camera(
+            jnp.asarray(vox[None, :, :, :, None]), jnp.asarray(true_pose),
+            new_size=cfg.new_size,
+        )
+        target = jnp.tile(silhouette(cam_t), (batch_size, 1, 1, 1))
+        el_errs = []
+        reconstruct(
+            ReconModel(decoder={}, texture={}, renderer={}), target, cfg,
+            callback=lambda e, l, f: el_errs.append(abs(
+                float(l.pose[int(np.argmin(np.asarray(f)))][1])
+                * 180.0 / math.pi - true_el_deg
+            )),
+            loss_fn=sil_loss,
+        )
+        return el_errs
+
+    el_cross = run("cross", CFG.batch_size)
+    assert el_cross[-1] < 3.0, el_cross
+    # and the fix matters: the reference's corner grid stalls well above
+    # the cross grid's final error on the identical problem
+    el_corners = run("corners", CFG.batch_size)
+    assert el_cross[-1] < el_corners[-1], (el_cross, el_corners)
+
+
 def test_subdivided_latents_tiles_best():
     latents = initial_latents(CFG)
     new = subdivided_latents(latents, best_idx=3, phi_range=30, theta_range=15, cfg=CFG)

@@ -440,7 +440,11 @@ def test_grad_accumulation_matches_full_batch(rng):
     """Accumulated loss/gradients equal the full-batch ones. Exactness is
     asserted in float64 (in fp32 the per-microbatch partial sums quantize
     before averaging — inherent to any gradient accumulation — so the fp32
-    check is the end-to-end loss trajectory)."""
+    check is the end-to-end loss trajectory).
+
+    Uses a SHALLOW model (2/2/1 res blocks): accumulation happens outside
+    the network, so depth adds nothing to the property under test — the
+    full-depth variant proved the same thing in 384 s of x64 compile."""
     import dataclasses
 
     from rendernet_tpu.models.shader import shader_rendernet
@@ -451,11 +455,15 @@ def test_grad_accumulation_matches_full_batch(rng):
         shader_loss_from_images,
     )
 
+    shallow = dataclasses.replace(
+        TINY_MODEL, res1_blocks=2, res2_blocks=2, res3_blocks=1, new_size=16
+    )
     vox, images, poses = _tiny_batch(rng, batch=4)
-    images = jnp.full_like(images, 0.25)
+    vox = vox[:, ::2, ::2, ::2]  # 8^3 voxels -> 16-deep camera grid
+    images = jnp.full_like(images[:, ::2, ::2], 0.25)  # 64px target
     key = jax.random.PRNGKey(9)
-    cfg = dataclasses.replace(TINY, batch_size=4)
-    state, _ = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, cfg)
+    cfg = dataclasses.replace(TINY, batch_size=4, img_res=64, new_size=16)
+    state, _ = create_shader_state(jax.random.PRNGKey(0), shallow, cfg)
 
     jax.config.update("jax_enable_x64", True)
     try:
@@ -469,7 +477,7 @@ def test_grad_accumulation_matches_full_batch(rng):
             cam = rotate_resample_to_camera(v, q, new_size=cfg.new_size)
             pred = shader_rendernet(
                 Module(params=params, compute_dtype=jnp.float64), cam,
-                TINY_MODEL,
+                shallow,
             )
             return jnp.mean(
                 -jnp.sum(
@@ -500,10 +508,10 @@ def test_grad_accumulation_matches_full_batch(rng):
     # fp32 end-to-end: the jitted accumulating step tracks the full-batch
     # loss trajectory over several Adam steps.
     cfg2 = dataclasses.replace(cfg, grad_accum_steps=2)
-    state2, tx2 = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, cfg2)
-    step2 = make_shader_train_step(TINY_MODEL, cfg2, tx2, patch_size=32)
-    state1, tx1 = create_shader_state(jax.random.PRNGKey(0), TINY_MODEL, cfg)
-    step1 = make_shader_train_step(TINY_MODEL, cfg, tx1, patch_size=32)
+    state2, tx2 = create_shader_state(jax.random.PRNGKey(0), shallow, cfg2)
+    step2 = make_shader_train_step(shallow, cfg2, tx2, patch_size=16)
+    state1, tx1 = create_shader_state(jax.random.PRNGKey(0), shallow, cfg)
+    step1 = make_shader_train_step(shallow, cfg, tx1, patch_size=16)
     for _ in range(3):
         state1, loss1 = step1(state1, vox, images, poses, key)
         state2, loss2 = step2(state2, vox, images, poses, key)
