@@ -61,14 +61,13 @@ def main() -> None:
         pallas_conv2d.PRELU_SAVE_PRE = bool(int(env_prelu_pre))
     # Fused-Winograd res-stack convs ("pallas"|"xla"|"off"). The pallas
     # kernel measures 21.08 fps full-512 (vs 19.28 best XLA-conv config,
-    # winograd_bench_r4.json). Default follows the training-quality gate
-    # benchmarks/winograd_quality_ab.py under its FIXED round-5 protocol
-    # (lr 2e-5 / 400 steps / liveness-asserted arms — the round-4-era
-    # lr 1e-4 runs saturation-collapsed one arm and their verdicts were
-    # artifacts; see winograd_quality_ab_r5.json and the postmortem in
-    # docs/performance.md). The default and this comment are updated in
-    # the same commit as the artifact.
-    env_wino = os.environ.get("RENDERNET_BENCH_WINOGRAD", "off")
+    # winograd_bench_r4.json) and PASSES the training-quality gate under
+    # the fixed round-5 protocol (lr 2e-5 / 400 steps / liveness-asserted
+    # arms): winograd-trained L1 0.0134 vs XLA-conv 0.0173 at identical
+    # budget — ratio 0.77, slightly BETTER (winograd_quality_ab_r5.json;
+    # the earlier lr-1e-4 "FAIL" was a dead-arm artifact, postmortem in
+    # docs/performance.md). Default "pallas" per that artifact.
+    env_wino = os.environ.get("RENDERNET_BENCH_WINOGRAD", "pallas")
     if env_wino not in ("pallas", "xla", "off"):
         raise SystemExit(
             f"RENDERNET_BENCH_WINOGRAD={env_wino!r}: must be one of "
@@ -137,9 +136,15 @@ def main() -> None:
 
         # winograd convs NEED the remat arm at full-512 (plain jit
         # exceeds HBM) — skip the known-failing compile instead of
-        # paying it; patch-64 fits either way
+        # paying it; patch-64 fits either way.
+        # RENDERNET_BENCH_TRY_NOREMAT=1 re-enables the plain-jit arm for
+        # winograd runs (e.g. with PREACT=1, whose ~6 GB res-stack
+        # activation cut may make the no-remat winograd step fit).
         remat_ladder = (
-            (True,) if env_wino != "off" and patch >= 128 else (False, True)
+            (True,)
+            if env_wino != "off" and patch >= 128
+            and not int(os.environ.get("RENDERNET_BENCH_TRY_NOREMAT", "0"))
+            else (False, True)
         )
         while True:
             for remat in remat_ladder:

@@ -181,7 +181,7 @@ def main():
         alive = delta > 1e-9 and np.isfinite(float(loss))
         print(json.dumps({"event": "liveness", "arm": arm,
                           "max_param_delta": delta,
-                          "train_loss": float(loss), "alive": alive}),
+                          "train_loss": float(loss), "alive": bool(alive)}),
               flush=True)
         if not alive:
             raise SystemExit(
