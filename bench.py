@@ -78,6 +78,13 @@ def main() -> None:
         from rendernet_tpu.nn import layers
 
         layers.WINOGRAD_2D = env_wino
+    # Transform-domain winograd WGRAD kernel (phase 2, opt-in): replaces
+    # the backward's XLA conv wgrad with the fused 16-vs-36 MACs/tile
+    # contraction where its tiling fits (ops/pallas_winograd.py).
+    if int(os.environ.get("RENDERNET_BENCH_WINO_WGRAD", "0")):
+        from rendernet_tpu.ops import pallas_winograd
+
+        pallas_winograd.WGRAD = True
 
     rng = np.random.default_rng(0)
 

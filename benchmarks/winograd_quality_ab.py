@@ -45,7 +45,8 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=2e-5)
     p.add_argument("--stage", default="all",
-                   choices=["all", "train-xla", "train-winograd", "eval"])
+                   choices=["all", "train-xla", "train-winograd",
+                            "train-wgrad", "eval"])
     args = p.parse_args()
 
     import jax
@@ -106,15 +107,20 @@ def main():
                   flush=True)
             return
         from rendernet_tpu.nn import layers
+        from rendernet_tpu.ops import pallas_winograd
 
         # train the winograd arm through the FUSED kernel (the deployable
         # impl — the XLA expression is a measured perf negative; numerics
-        # are the same algorithm either way)
-        layers.WINOGRAD_2D = "pallas" if arm == "winograd" else False
+        # are the same algorithm either way); the "wgrad" arm additionally
+        # routes the weight grad through the fused transform-domain
+        # kernel (phase 2) instead of XLA's conv wgrad
+        layers.WINOGRAD_2D = "pallas" if arm in ("winograd", "wgrad") else False
+        pallas_winograd.WGRAD = arm == "wgrad"
         try:
             train_shader(make_cfg(arm), model_cfg, max_steps=args.steps)
         finally:
             layers.WINOGRAD_2D = False
+            pallas_winograd.WGRAD = False
         print(json.dumps({"event": "trained", "arm": arm}), flush=True)
 
     def restore(md):
@@ -130,6 +136,8 @@ def main():
         train_once("xla")
     if args.stage in ("all", "train-winograd"):
         train_once("winograd")
+    if args.stage == "train-wgrad":  # optional third arm
+        train_once("wgrad")
     if args.stage not in ("all", "eval"):
         return
 
@@ -191,7 +199,8 @@ def main():
             )
 
     results = {}
-    for arm in ("xla", "winograd"):
+    arms = ["xla", "winograd"] + (["wgrad"] if is_trained("wgrad") else [])
+    for arm in arms:
         state = restore(arm)
         assert_alive(arm, state)
         results[arm], sat_frac = eval_l1(state.params)
@@ -210,6 +219,16 @@ def main():
         "eval_l1_winograd_trained": round(results["winograd"], 5),
         "l1_ratio_winograd_over_xla": round(
             results["winograd"] / results["xla"], 4
+        ),
+        **(
+            {
+                "eval_l1_wgrad_trained": round(results["wgrad"], 5),
+                "l1_ratio_wgrad_over_xla": round(
+                    results["wgrad"] / results["xla"], 4
+                ),
+            }
+            if "wgrad" in results
+            else {}
         ),
         "backend": jax.default_backend(),
     }

@@ -276,6 +276,163 @@ def _wino_expr(x, w):
     return jnp.transpose(yh, (2, 0, 1, 3))  # NHWC
 
 
+# ---------------------------------------------------------------------------
+# Transform-domain weight gradient (phase 2).
+#
+# The backward's dominant term is the wgrad: direct conv wgrad costs
+# 9*C*K MACs per output pixel = 36*C*K per 2x2 tile, while the winograd-
+# domain contraction gU[k] = V[k]^T @ dM[k] costs 16*C*K per tile — the
+# same 2.25x cut as the forward. dM is the adjoint of the inverse output
+# transform (spread each 2x2 gy tile into 16 frequencies by A), V is the
+# same input transform the forward computes, and gw = G^T-fold of gU
+# (tiny, fp32, outside the kernel). Exact adjoint of the winograd
+# forward in exact arithmetic == the conv wgrad; in bf16 it carries the
+# same bounded transform rounding as the forward (quality-gated like the
+# forward by benchmarks/winograd_quality_ab.py --wgrad arm).
+#
+# Kernel layout mirrors the forward (HWNC row views, th tile-rows per
+# program); the gU output block is PINNED across the (batch, tile-row)
+# grid sweep and accumulated in fp32 VMEM (the pallas_conv3d wgrad
+# pattern), one sweep per K block.
+# ---------------------------------------------------------------------------
+
+# Opt-in: replace the backward's XLA conv wgrad with the fused transform-
+# domain kernel where its tiling fits. Default ON only after its own
+# quality evidence (same gate discipline as the forward).
+WGRAD = False
+
+
+def _wgrad_tiles(h, w, b, cch, co, xbytes):
+    """(bnk, bb, th) for the wgrad kernel, or None."""
+    nw = w // 2
+    nh = h // 2
+    for bnk in (256, 128):
+        if co % bnk:
+            continue
+        for bb in (8, 16, b):
+            if b % bb or (bb % 8 and bb != b):
+                continue
+            for th in (1, 2):
+                if nh % th:
+                    continue
+                gu = 16 * cch * bnk * 4
+                v = 16 * nw * bb * cch * 4
+                dm = 16 * nw * bb * bnk * 4
+                xrows = 2 * (2 * th + 2) * (2 * nw + 2) * bb * cch * xbytes
+                gyrows = 2 * th * (2 * nw) * bb * bnk * xbytes
+                if gu + v + dm + xrows + gyrows <= _VMEM_LIMIT // 2:
+                    return (bnk, bb, th)
+    return None
+
+
+def _wgrad_kernel(*refs, nw, bb, cch, bnk, th, opdtype):
+    x_rows = refs[: 2 * th + 2]
+    gy_ref = refs[2 * th + 2]
+    gu_ref = refs[-1]
+    f32 = jnp.float32
+    bt, at = _BT, _AT
+
+    nk, bi, ti = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when((bi == 0) & (ti == 0))
+    def _():
+        gu_ref[...] = jnp.zeros_like(gu_ref)
+
+    for tr in range(th):
+        rows = [x_rows[2 * tr + r][0] for r in range(4)]  # [W+3, bb, C]
+        d = [
+            [
+                rows[r][s : s + 2 * nw].reshape(nw, 2, bb, cch)[:, 0]
+                for s in range(4)
+            ]
+            for r in range(4)
+        ]
+        rowt = [
+            [
+                sum(
+                    d[r][s].astype(f32) * float(bt[k1, r])
+                    for r in range(4)
+                    if bt[k1, r] != 0
+                )
+                for s in range(4)
+            ]
+            for k1 in range(4)
+        ]
+        # gy 2x2 phases for this tile-row: [nw, bb, K]
+        g = [
+            gy_ref[2 * tr + p1].reshape(nw, 2, bb, bnk)
+            for p1 in range(2)
+        ]
+        gp = [[g[p1][:, p2] for p2 in range(2)] for p1 in range(2)]
+        for k1 in range(4):
+            for k2 in range(4):
+                v = sum(
+                    rowt[k1][s] * float(bt[k2, s])
+                    for s in range(4)
+                    if bt[k2, s] != 0
+                ).reshape(nw * bb, cch)
+                dm = sum(
+                    gp[p1][p2].astype(f32)
+                    * float(at[p1, k1] * at[p2, k2])
+                    for p1 in range(2)
+                    for p2 in range(2)
+                    if at[p1, k1] * at[p2, k2] != 0
+                ).reshape(nw * bb, bnk)
+                gu_ref[4 * k1 + k2] += lax.dot_general(
+                    v.astype(opdtype),
+                    dm.astype(opdtype),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+
+
+def _wino_wgrad(x: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
+    """gw [3,3,C,K] of the SAME stride-1 3x3 conv via the transform-domain
+    contraction (see block comment above). ``x`` NHWC, ``gy`` NHWC."""
+    b, h, w, cch = x.shape
+    co = gy.shape[-1]
+    tiles = _wgrad_tiles(h, w, b, cch, co, jnp.dtype(x.dtype).itemsize)
+    if tiles is None:
+        raise ValueError(f"wino wgrad: no tiling fits for {x.shape}->{co}")
+    bnk, bb, th = tiles
+    nw, nh = w // 2, h // 2
+    xh = jnp.transpose(x, (1, 2, 0, 3))  # HWNC
+    xp = jnp.pad(xh, ((1, 1), (1, 2), (0, 0), (0, 0)))
+    gyh = jnp.transpose(gy, (1, 2, 0, 3))  # HWNC
+
+    kern = functools.partial(
+        _wgrad_kernel, nw=nw, bb=bb, cch=cch, bnk=bnk, th=th,
+        opdtype=x.dtype,
+    )
+    in_specs = (
+        [_xspec(i, th, w + 3, bb, cch) for i in range(2 * th + 2)]
+        + [
+            pl.BlockSpec(
+                (2 * th, w, bb, bnk),
+                lambda nk, bi, ti: (ti, 0, bi, nk),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    )
+    gu = pl.pallas_call(
+        kern,
+        grid=(co // bnk, b // bb, nh // th),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (16, cch, bnk),
+            lambda nk, bi, ti: (0, 0, nk),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((16, cch, co), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=not _on_tpu(),
+    )(*([xp] * (2 * th + 2) + [gyh]))
+    # gw[r,s] = sum_ab G[a,r] G[b,s] gU[ab] — the adjoint of U = G w G^T
+    g = jnp.asarray(_G, jnp.float32)
+    gu4 = gu.reshape(4, 4, cch, co)
+    return jnp.einsum("ar,abcK,bs->rscK", g, gu4, g)
+
+
 @jax.custom_vjp
 def wino_conv2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """SAME stride-1 3x3 conv [B,H,W,C] @ [3,3,C,K] via fused Winograd.
@@ -308,16 +465,23 @@ def _bwd(res, gy):
             gy, wt, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-    # weight grad: XLA's own conv wgrad lowering (Winograd's MAC cut does
-    # not apply to the [3,3] wgrad shape; XLA is at roofline there)
-    _, conv_vjp = jax.vjp(
-        lambda ww: lax.conv_general_dilated(
-            x, ww, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ),
-        w,
-    )
-    (gw,) = conv_vjp(gy)
+    # weight grad: the fused transform-domain kernel when opted in and
+    # its tiling fits (2.25x fewer MACs than the direct wgrad — see the
+    # phase-2 block comment), else XLA's conv wgrad lowering.
+    if WGRAD and _wgrad_tiles(
+        x.shape[1], x.shape[2], x.shape[0], x.shape[3], gy.shape[-1],
+        jnp.dtype(x.dtype).itemsize,
+    ) is not None:
+        gw = _wino_wgrad(x, gy).astype(w.dtype)
+    else:
+        _, conv_vjp = jax.vjp(
+            lambda ww: lax.conv_general_dilated(
+                x, ww, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ),
+            w,
+        )
+        (gw,) = conv_vjp(gy)
     return gx, gw
 
 

@@ -114,3 +114,53 @@ def test_bf16_operands():
     np.testing.assert_allclose(
         np.asarray(y_kernel), np.asarray(y_wino), atol=3e-2, rtol=3e-2
     )
+
+
+def test_wgrad_kernel_matches_conv_wgrad():
+    """The transform-domain weight-grad kernel (_wino_wgrad) equals the
+    XLA conv wgrad to fp32 rounding — the 16-vs-36 MACs/tile contraction
+    is the exact adjoint of the winograd forward."""
+    from rendernet_tpu.ops import pallas_winograd as pw
+
+    b, h, w, c, k = 4, 8, 8, 256, 256
+    x, _ = _data(b, h, w, c, k, seed=4)
+    rng = np.random.default_rng(9)
+    gy = jnp.asarray(rng.standard_normal((b, h, w, k)).astype(np.float32))
+
+    got = pw._wino_wgrad(x, gy)
+
+    def conv(ww):
+        return lax.conv_general_dilated(x, ww, (1, 1), "SAME",
+                                        dimension_numbers=DN)
+
+    (want,) = jax.vjp(conv, jnp.zeros((3, 3, c, k), jnp.float32))[1](gy)
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(want) / scale,
+                               atol=2e-6)
+
+
+def test_bwd_with_wino_wgrad_matches_xla_wgrad_path():
+    """WGRAD=True routes the custom-VJP backward through the fused wgrad
+    kernel; gradients match the default (XLA-wgrad) path to rounding."""
+    from rendernet_tpu.ops import pallas_winograd as pw
+
+    b, h, w, c, k = 2, 8, 8, 256, 256
+    x, wt = _data(b, h, w, c, k, seed=5)
+
+    def loss(xx, ww):
+        y = wino_conv2d(xx, ww)
+        return jnp.sum(y * jnp.cos(y.astype(jnp.float32)))
+
+    gx0, gw0 = jax.grad(loss, (0, 1))(x, wt)
+    old = pw.WGRAD
+    try:
+        pw.WGRAD = True
+        assert pw._wgrad_tiles(h, w, b, c, k, 4) is not None
+        gx1, gw1 = jax.grad(loss, (0, 1))(x, wt)
+    finally:
+        pw.WGRAD = old
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
+                               atol=1e-4, rtol=1e-4)
