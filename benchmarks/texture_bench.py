@@ -53,6 +53,14 @@ def measure(patch: int, batch: int):
         from rendernet_tpu.nn import layers
 
         layers.PHASE_CONV3D = bool(int(env_ph3d))
+    # The texture trunk's res2 stack runs 512-wide (projection of the
+    # 128-deep 16-ch grid) — in the quality-passed winograd kernel's
+    # envelope. Same values as bench.py's knob.
+    env_wino = os.environ.get("RENDERNET_BENCH_WINOGRAD")
+    if env_wino in ("pallas", "xla"):
+        from rendernet_tpu.nn import layers
+
+        layers.WINOGRAD_2D = env_wino
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)

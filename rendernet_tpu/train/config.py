@@ -92,13 +92,15 @@ class TrainConfig:
     # (round-5 postmortem, docs/performance.md).
     dead_step_warn: bool = True
     # Adam moment-buffer storage dtype ("float32" | "bfloat16"). bf16
-    # halves optimizer-state HBM (~0.95 GB at the 237 M-param shader net)
-    # but FAILED its training-quality gate: 4.6x worse held-in L1 after
-    # 200 identical-seed steps (benchmarks/results/
-    # moments_quality_ab_r4.json — Adam's nu spans orders of magnitude
-    # early; bf16's mantissa quantizes it into per-parameter LR noise).
-    # Keep float32 unless a stochastic-rounding/block-scaled store lands;
-    # update arithmetic is fp32 either way
+    # halves optimizer-state HBM (~0.95 GB at the 237 M-param shader
+    # net) and PASSES its training-quality gate under the fixed round-5
+    # protocol (ratio 0.82, both arms liveness-verified —
+    # benchmarks/results/moments_quality_ab_r5.json; the r4 4.6x "FAIL"
+    # was a saturation-dead-arm artifact, see docs/performance.md).
+    # Default stays float32 only for checkpoint-format stability
+    # (toggling changes the optimizer-state pytree); deployments wanting
+    # the memory back can flip it with measured quality evidence behind
+    # them. Update arithmetic is fp32 either way
     # (train.optim.scale_by_adam_moments).
     # NOTE: toggling changes the optimizer-state pytree (same checkpoint
     # caveat as skip_nonfinite_updates).
