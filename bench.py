@@ -53,7 +53,11 @@ def main() -> None:
     if env_ph3d is not None:
         from rendernet_tpu.nn import layers
 
-        layers.PHASE_CONV3D = bool(int(env_ph3d))
+        # "0"/"1" = off / fan-in-gated; "all" = no fan-in gate (the
+        # measured texture negative — layers.PHASE_CONV3D docs)
+        layers.PHASE_CONV3D = (
+            "all" if env_ph3d == "all" else bool(int(env_ph3d))
+        )
     env_prelu_pre = os.environ.get("RENDERNET_BENCH_PRELU_PRE")
     if env_prelu_pre is not None:
         from rendernet_tpu.ops import pallas_conv2d

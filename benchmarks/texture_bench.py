@@ -52,7 +52,11 @@ def measure(patch: int, batch: int):
     if env_ph3d is not None:
         from rendernet_tpu.nn import layers
 
-        layers.PHASE_CONV3D = bool(int(env_ph3d))
+        # "0"/"1" = off / fan-in-gated; "all" = no fan-in gate (the
+        # measured texture negative — layers.PHASE_CONV3D docs)
+        layers.PHASE_CONV3D = (
+            "all" if env_ph3d == "all" else bool(int(env_ph3d))
+        )
     # The texture trunk's res2 stack runs 512-wide (projection of the
     # 128-deep 16-ch grid) — in the quality-passed winograd kernel's
     # envelope. Same values as bench.py's knob.
@@ -137,6 +141,12 @@ def main():
             ),
             "pallas3d": os.environ.get(
                 "RENDERNET_BENCH_PALLAS3D", "auto(default)"
+            ),
+            "phase3d": os.environ.get(
+                "RENDERNET_BENCH_PHASE3D", "off(default)"
+            ),
+            "winograd": os.environ.get(
+                "RENDERNET_BENCH_WINOGRAD", "off(default)"
             ),
         },
         "full512": measure(128, 24),

@@ -84,6 +84,14 @@ def main():
                         "adapted texture/light can compensate small "
                         "elevation errors, making the el corner pick "
                         "unreliable at ranking time")
+    p.add_argument("--el-eta-scale", type=float, default=1.0,
+                   help="multiplier on the elevation pose-gradient "
+                        "component (ReconConfig.el_eta_scale): the el "
+                        "gradient is ~20x weaker than azimuth's through "
+                        "the trained nets")
+    p.add_argument("--halve-mode", choices=("always", "on_center"),
+                   default="always",
+                   help="box-shrink policy (ReconConfig.halve_mode)")
     p.add_argument("--tex-eta", type=float, default=0.1,
                    help="kept low: the 64^3 texture field can paint away "
                         "geometry error, confounding the pose ranking")
@@ -151,6 +159,8 @@ def main():
         light_elevation=light_elev,
         theta_range0=args.theta_range0,
         pose_eta=args.pose_eta,
+        el_eta_scale=args.el_eta_scale,
+        halve_mode=args.halve_mode,
         tex_eta=args.tex_eta,
         light_eta=0.1,
         shape_eta=0.0,

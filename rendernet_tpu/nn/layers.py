@@ -159,11 +159,16 @@ PALLAS_CONV3D = "auto"
 
 # Phase-space (space-to-depth) rewrite of the STRIDED encoder conv3ds
 # (ops/phase_conv.py): exact math, one dense stride-1 conv at the
-# decimated resolution instead of a strided conv at 128^3 — kills the
-# input-dilated dgrad that is the texture step's single biggest traced
-# op (44 ms, docs/performance.md). "auto" = on for the TPU backend;
-# default decided by the end-to-end A/B in benchmarks/texture_bench.py.
+# decimated resolution instead of a strided conv at 128^3. Measured
+# round 5 (full-512 train step, bf16, batch 24): +2.1% on the SHADER
+# (21.54 vs 21.09 fps; 1-ch e_conv1 folds to an 8-ch dense conv) but
+# -1.7% on the TEXTURE step when applied to ALL strided convs (its 5-ch
+# e_conv1 folds to 40 channels — past the win region). True/"auto"
+# therefore applies the rewrite only where the phase-folded fan-in
+# ci*prod(stride) <= PHASE_MAX_FANIN; "all" removes the fan-in gate
+# (the measured texture negative).
 PHASE_CONV3D = False
+PHASE_MAX_FANIN = 16
 
 # Winograd F(2x2,3x3) for the wide-channel 3x3 stride-1 convs: 2.25x
 # fewer MXU MACs, exact to transform roundoff. False | "xla" | "pallas"
@@ -294,7 +299,11 @@ def _conv_op(x: jnp.ndarray, w: jnp.ndarray, stride, ndim: int) -> jnp.ndarray:
     if ndim == 3 and phase and phase_conv.phase_conv3d_supported(
         x.shape, w.shape, tuple(stride)
     ):
-        return phase_conv.phase_conv3d(x, w, tuple(stride))
+        fanin = x.shape[-1]
+        for s in stride:
+            fanin *= s
+        if phase == "all" or fanin <= PHASE_MAX_FANIN:
+            return phase_conv.phase_conv3d(x, w, tuple(stride))
     if ndim == 3 and pack:
         f = _depth_pack_factor(x, w, stride)
         if f > 1:

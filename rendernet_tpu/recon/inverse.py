@@ -82,6 +82,19 @@ class ReconConfig:
     # (the reference's exact 5-point X, Reconstruct_RenderNet_Face.py:
     # 304-318). See create_param_center.
     grid_shape: str = "cross"
+    # Extra multiplier on the ELEVATION component of the pose gradient.
+    # Measured on the trained mid net (reconstruct_trained.py r3 notes):
+    # the elevation gradient is ~20x weaker than azimuth's because
+    # adapted texture/light compensate small elevation errors — one
+    # shared pose_eta leaves elevation walking far slower than the
+    # coarse-to-fine box shrinks. 1.0 = reference semantics.
+    el_eta_scale: float = 1.0
+    # Range-halving policy: "always" (reference, :458-473 — halve every
+    # epoch) or "on_center" (pattern search: halve only when the CENTER
+    # hypothesis won the epoch; while an off-center arm keeps winning,
+    # the box moves instead of shrinking, so a wrong early center cannot
+    # strand the search outside its own reachable set).
+    halve_mode: str = "always"
 
 
 class Latents(NamedTuple):
@@ -185,9 +198,12 @@ def make_recon_step(
         (_, per_sample), grads = jax.value_and_grad(loss_and_aux, has_aux=True)(
             latents
         )
+        pose_scale = jnp.array(
+            [1.0, cfg.el_eta_scale, 1.0], jnp.float32
+        )  # (azimuth, ELEVATION, scale) — see el_eta_scale
         new = Latents(
             vector=latents.vector - cfg.shape_eta * grads.vector,
-            pose=latents.pose - cfg.pose_eta * grads.pose,
+            pose=latents.pose - cfg.pose_eta * pose_scale * grads.pose,
             texture=latents.texture - cfg.tex_eta * grads.texture,
             light=latents.light - cfg.light_eta * grads.light,
         )
@@ -368,8 +384,15 @@ def reconstruct(
         if callback is not None:
             callback(epoch, latents, final)
         if epoch + 1 < cfg.max_epochs:
-            phi_range /= 2.0
-            theta_range /= 2.0
+            # "always": the reference's schedule (halve every epoch,
+            # :458-473). "on_center": pattern search — halve only when
+            # the center hypothesis won; a winning off-center arm means
+            # the optimum is still outside the shrinking box, so move
+            # the box (subdivided_latents re-centers on the winner)
+            # without shrinking it.
+            if cfg.halve_mode == "always" or best_idx % 5 == 2:
+                phi_range /= 2.0
+                theta_range /= 2.0
             latents = subdivided_latents(
                 latents, best_idx, phi_range, theta_range, cfg
             )

@@ -59,7 +59,13 @@ class TrainState(NamedTuple):
 # Texture step: resample the channel-concatenated shape+texture grid in
 # ONE pass when resolutions match (exact same math — see the note in
 # make_texture_train_step). Module-level so benchmarks can A/B it.
-FUSE_TEXTURE_RESAMPLE = True
+# DEFAULT OFF per the round-5 end-to-end A/B (texture_bench_r5.json):
+# the two-pass form is FASTER — 27.42 vs 27.08 frames/s full-512 and
+# 72.39 vs 69.50 at patch 64 — because the un-differentiated C=1 voxel
+# pass's adjoint is DCE'd entirely, while fusing drags the voxel channel
+# into the C=5 custom-VJP warp and pays its adjoint every step
+# (docs/performance.md "Fused vs two-pass resample").
+FUSE_TEXTURE_RESAMPLE = False
 
 
 def _dtype(name: str):
