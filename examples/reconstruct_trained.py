@@ -92,6 +92,10 @@ def main():
     p.add_argument("--halve-mode", choices=("always", "on_center"),
                    default="always",
                    help="box-shrink policy (ReconConfig.halve_mode)")
+    p.add_argument("--warmup-freeze-epochs", type=int, default=0,
+                   help="epochs with texture/light etas zeroed so the box "
+                        "search ranks POSE alone "
+                        "(ReconConfig.warmup_freeze_epochs)")
     p.add_argument("--tex-eta", type=float, default=0.1,
                    help="kept low: the 64^3 texture field can paint away "
                         "geometry error, confounding the pose ranking")
@@ -161,6 +165,7 @@ def main():
         pose_eta=args.pose_eta,
         el_eta_scale=args.el_eta_scale,
         halve_mode=args.halve_mode,
+        warmup_freeze_epochs=args.warmup_freeze_epochs,
         tex_eta=args.tex_eta,
         light_eta=0.1,
         shape_eta=0.0,

@@ -95,6 +95,15 @@ class ReconConfig:
     # the box moves instead of shrinking, so a wrong early center cannot
     # strand the search outside its own reachable set).
     halve_mode: str = "always"
+    # Epochs during which texture and light etas are ZEROED, so every
+    # hypothesis renders with the same (shared-init) texture and light
+    # and the best-of-batch ranking reflects POSE alone. Measured
+    # motivation (refscale r5 attempts): once texture adapts
+    # per-hypothesis, it paints over few-degree elevation error and the
+    # elevation ranking (and even its gradient direction) becomes
+    # noise/bias — el stalls at ~9 deg or diverges when force-fed.
+    # 0 = reference semantics (everything trains from step 0).
+    warmup_freeze_epochs: int = 0
 
 
 class Latents(NamedTuple):
@@ -365,14 +374,28 @@ def reconstruct(
         )
     if run is None:
         run = make_recon_step(model, cfg, scan_steps=chunk, loss_fn=loss_fn)
+    run_frozen = None
+    if cfg.warmup_freeze_epochs > 0:
+        # Same machinery with texture/light etas zeroed: pose-only
+        # ranking during the warmup window (see warmup_freeze_epochs).
+        run_frozen = make_recon_step(
+            model,
+            dataclasses.replace(cfg, tex_eta=0.0, light_eta=0.0),
+            scan_steps=chunk, loss_fn=loss_fn,
+        )
     latents = initial_latents(cfg, seed) if initial is None else initial
     phi_range, theta_range = cfg.phi_range0, cfg.theta_range0
     history = []
     curves = []
     for epoch in range(cfg.max_epochs):
+        epoch_run = (
+            run_frozen
+            if run_frozen is not None and epoch < cfg.warmup_freeze_epochs
+            else run
+        )
         chunks = []
         for ci in range(cfg.inner_steps // chunk):
-            latents, losses = run(latents, target)
+            latents, losses = epoch_run(latents, target)
             chunks.append(np.asarray(losses))
             if inner_callback is not None:
                 inner_callback(epoch, (ci + 1) * chunk, latents, chunks[-1])
