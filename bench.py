@@ -85,10 +85,13 @@ def main() -> None:
     # Transform-domain winograd WGRAD kernel (phase 2, opt-in): replaces
     # the backward's XLA conv wgrad with the fused 16-vs-36 MACs/tile
     # contraction where its tiling fits (ops/pallas_winograd.py).
-    if int(os.environ.get("RENDERNET_BENCH_WINO_WGRAD", "0")):
+    env_wgrad = os.environ.get("RENDERNET_BENCH_WINO_WGRAD", "0")
+    if env_wgrad != "0":
         from rendernet_tpu.ops import pallas_winograd
 
-        pallas_winograd.WGRAD = True
+        # "1" = bf16-operand GEMMs (fast, quality-FAILED); "fp32" =
+        # precision=HIGHEST GEMMs (1.33x MAC cut, exact-grade numerics)
+        pallas_winograd.WGRAD = "fp32" if env_wgrad == "fp32" else True
 
     rng = np.random.default_rng(0)
 

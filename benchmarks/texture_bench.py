@@ -65,6 +65,13 @@ def measure(patch: int, batch: int):
         from rendernet_tpu.nn import layers
 
         layers.WINOGRAD_2D = env_wino
+    env_wgrad = os.environ.get("RENDERNET_BENCH_WINO_WGRAD", "0")
+    if env_wgrad != "0":
+        from rendernet_tpu.ops import pallas_winograd
+
+        # "1" = bf16-operand GEMMs (fast, quality-FAILED); "fp32" =
+        # precision=HIGHEST GEMMs (1.33x MAC cut, exact-grade numerics)
+        pallas_winograd.WGRAD = "fp32" if env_wgrad == "fp32" else True
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)

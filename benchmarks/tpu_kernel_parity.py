@@ -117,6 +117,15 @@ def main() -> int:
         ok &= check(f"winograd_gx_b{b}_hw{hw}_c{c}", gxw, rxw, 4e-2)
         ok &= check(f"winograd_gw_b{b}_hw{hw}_c{c}", gww, rww, 4e-2)
 
+        # fused transform-domain wgrad (WGRAD=True path) vs the same ref
+        old_wgrad = pwg.WGRAD
+        try:
+            pwg.WGRAD = True
+            _, gww2 = loss_w(pwg.wino_conv2d)(xw, ww)
+        finally:
+            pwg.WGRAD = old_wgrad
+        ok &= check(f"winograd_fused_wgrad_b{b}_hw{hw}_c{c}", gww2, rww, 4e-2)
+
     # --- multipass resample vs exact trilinear ----------------------------
     vox = jnp.asarray((rng.random((2, 64, 64, 64, 1)) > 0.7), jnp.float32)
     pose = jnp.asarray(

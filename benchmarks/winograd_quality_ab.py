@@ -46,7 +46,7 @@ def main():
     p.add_argument("--lr", type=float, default=2e-5)
     p.add_argument("--stage", default="all",
                    choices=["all", "train-xla", "train-winograd",
-                            "train-wgrad", "eval"])
+                            "train-wgrad", "train-wgradf", "eval"])
     args = p.parse_args()
 
     import jax
@@ -114,8 +114,12 @@ def main():
         # are the same algorithm either way); the "wgrad" arm additionally
         # routes the weight grad through the fused transform-domain
         # kernel (phase 2) instead of XLA's conv wgrad
-        layers.WINOGRAD_2D = "pallas" if arm in ("winograd", "wgrad") else False
-        pallas_winograd.WGRAD = arm == "wgrad"
+        layers.WINOGRAD_2D = (
+            "pallas" if arm in ("winograd", "wgrad", "wgradf") else False
+        )
+        pallas_winograd.WGRAD = (
+            "fp32" if arm == "wgradf" else arm == "wgrad"
+        )
         try:
             train_shader(make_cfg(arm), model_cfg, max_steps=args.steps)
         finally:
@@ -138,6 +142,8 @@ def main():
         train_once("winograd")
     if args.stage == "train-wgrad":  # optional third arm
         train_once("wgrad")
+    if args.stage == "train-wgradf":  # optional fourth arm (fp32 wgrad)
+        train_once("wgradf")
     if args.stage not in ("all", "eval"):
         return
 
@@ -199,7 +205,9 @@ def main():
             )
 
     results = {}
-    arms = ["xla", "winograd"] + (["wgrad"] if is_trained("wgrad") else [])
+    arms = ["xla", "winograd"] + [
+        a for a in ("wgrad", "wgradf") if is_trained(a)
+    ]
     for arm in arms:
         state = restore(arm)
         assert_alive(arm, state)
@@ -220,16 +228,17 @@ def main():
         "l1_ratio_winograd_over_xla": round(
             results["winograd"] / results["xla"], 4
         ),
-        **(
-            {
-                "eval_l1_wgrad_trained": round(results["wgrad"], 5),
-                "l1_ratio_wgrad_over_xla": round(
-                    results["wgrad"] / results["xla"], 4
+        **{
+            k: v
+            for a in ("wgrad", "wgradf")
+            if a in results
+            for k, v in {
+                f"eval_l1_{a}_trained": round(results[a], 5),
+                f"l1_ratio_{a}_over_xla": round(
+                    results[a] / results["xla"], 4
                 ),
-            }
-            if "wgrad" in results
-            else {}
-        ),
+            }.items()
+        },
         "backend": jax.default_backend(),
     }
     with open(os.path.join(args.out, "result.json"), "w") as f:

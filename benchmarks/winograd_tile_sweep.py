@@ -33,8 +33,13 @@ def main() -> None:
     results = []
 
     def timeit(fn, *args, n=10):
+        # warm by HOST FETCH, not block_until_ready — the tunneled
+        # platform's block_until_ready has returned early here, letting
+        # the multi-second remote program load bleed into the timed loop
+        # (first sweep's xla fwd columns were contaminated exactly so).
         out = fn(*args)  # compile + warm
-        jax.tree.map(lambda x: x.block_until_ready(), out)
+        for leaf in jax.tree.leaves(out):
+            float(jnp.sum(leaf.astype(jnp.float32)))
         t0 = time.perf_counter()
         for _ in range(n):
             out = fn(*args)

@@ -297,8 +297,16 @@ def _wino_expr(x, w):
 # ---------------------------------------------------------------------------
 
 # Opt-in: replace the backward's XLA conv wgrad with the fused transform-
-# domain kernel where its tiling fits. Default ON only after its own
-# quality evidence (same gate discipline as the forward).
+# domain kernel where its tiling fits. Values:
+#   False  — XLA conv wgrad (default)
+#   True   — bf16-operand GEMMs: fastest (+11.7% full-512 step) but
+#            FAILED its quality arm at ratio 1.58 (weight-grad transform
+#            noise feeds Adam directly — winograd_quality_ab_r5.json)
+#   "fp32" — fp32-operand GEMMs via precision=HIGHEST (3-pass MXU):
+#            keeps 16*3/36 = 1.33x of the MAC cut over the direct wgrad
+#            while REMOVING the bf16 operand rounding the quality arm
+#            rejected (transforms were already fp32; only the tile
+#            contraction was bf16).
 WGRAD = False
 
 
@@ -383,6 +391,11 @@ def _wgrad_kernel(*refs, nw, bb, cch, bnk, th, opdtype):
                     dm.astype(opdtype),
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=f32,
+                    precision=(
+                        lax.Precision.HIGHEST
+                        if opdtype == jnp.float32
+                        else None
+                    ),
                 )
 
 
@@ -402,7 +415,7 @@ def _wino_wgrad(x: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
 
     kern = functools.partial(
         _wgrad_kernel, nw=nw, bb=bb, cch=cch, bnk=bnk, th=th,
-        opdtype=x.dtype,
+        opdtype=jnp.float32 if WGRAD == "fp32" else x.dtype,
     )
     in_specs = (
         [_xspec(i, th, w + 3, bb, cch) for i in range(2 * th + 2)]

@@ -164,3 +164,34 @@ def test_bwd_with_wino_wgrad_matches_xla_wgrad_path():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fp32_wgrad_mode_matches_conv_wgrad_tightly():
+    """WGRAD="fp32" (precision=HIGHEST tile contraction) tracks the conv
+    wgrad at fp32-rounding tightness — the numerics the quality gate
+    demands of the weight gradient."""
+    from rendernet_tpu.ops import pallas_winograd as pw
+
+    b, h, w, c, k = 2, 8, 8, 256, 256
+    x, wt = _data(b, h, w, c, k, seed=6)
+
+    def loss(xx, ww):
+        y = wino_conv2d(xx, ww)
+        return jnp.sum(y * jnp.cos(y.astype(jnp.float32)))
+
+    def loss_conv(xx, ww):
+        y = lax.conv_general_dilated(xx, ww, (1, 1), "SAME",
+                                     dimension_numbers=DN)
+        return jnp.sum(y * jnp.cos(y.astype(jnp.float32)))
+
+    _, gw_ref = jax.grad(loss_conv, (0, 1))(x, wt)
+    old = pw.WGRAD
+    try:
+        pw.WGRAD = "fp32"
+        _, gw = jax.grad(loss, (0, 1))(x, wt)
+    finally:
+        pw.WGRAD = old
+    # cotangent differs slightly (wino fwd vs conv fwd outputs feed the
+    # cos'), so compare at fwd-roundoff tightness rather than exactness
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=1e-3, atol=1e-3)
