@@ -144,7 +144,7 @@ def main():
         ),
         "config": {
             "fuse_resample": os.environ.get(
-                "RENDERNET_BENCH_FUSE_RESAMPLE", "1(default)"
+                "RENDERNET_BENCH_FUSE_RESAMPLE", "default(two-pass)"
             ),
             "pallas3d": os.environ.get(
                 "RENDERNET_BENCH_PALLAS3D", "auto(default)"

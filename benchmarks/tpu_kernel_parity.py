@@ -89,7 +89,7 @@ def main() -> int:
     # amplification is a measured FAIL (winograd_quality_ab_r5.json).
     from rendernet_tpu.ops import pallas_winograd as pwg
 
-    for b, hw, c in ((8, 64, 1024), (4, 64, 512)):
+    for b, hw, c in ((8, 64, 1024), (8, 64, 512)):
         xw = jnp.asarray(rng.standard_normal((b, hw, hw, c)), jnp.bfloat16)
         ww = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.02,
                          jnp.bfloat16)

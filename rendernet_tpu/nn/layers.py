@@ -166,8 +166,12 @@ PALLAS_CONV3D = "auto"
 # e_conv1 folds to 40 channels — past the win region). True/"auto"
 # therefore applies the rewrite only where the phase-folded fan-in
 # ci*prod(stride) <= PHASE_MAX_FANIN; "all" removes the fan-in gate
-# (the measured texture negative).
-PHASE_CONV3D = False
+# (the measured texture negative). Gated on texture is a wash (27.20 vs
+# 27.42 full-512, within 6-step timing jitter; +0.4% patch-64), so the
+# default is "auto" (= TPU backend) with the gate — the shader keeps
+# its +2.1% and nothing regresses outside noise. Exact math either way
+# (tests/test_layers.py phase-conv rows).
+PHASE_CONV3D = "auto"
 PHASE_MAX_FANIN = 16
 
 # Winograd F(2x2,3x3) for the wide-channel 3x3 stride-1 convs: 2.25x

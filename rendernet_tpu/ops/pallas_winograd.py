@@ -131,6 +131,12 @@ def wino_conv2d_supported(x_shape, w_shape, stride, dtype=jnp.bfloat16) -> bool:
         return False
     if h % 2 or w % 2:
         return False
+    # batch >= 8: at b=1 the only fitting batch-block is bb=1, whose
+    # GEMM M = nw*1 is MXU-thin — measured 1.5x SLOWER single-request
+    # serving (39.7 vs 26.9 ms demo composite) while batched serving
+    # gains 22-30% (serving_bench r5). Training batches are 8/24.
+    if b < 8:
+        return False
     xbytes = jnp.dtype(dtype).itemsize
     return (
         _tiles(h, w, b, ci, co, xbytes) is not None
