@@ -263,3 +263,53 @@ def test_subdivided_latents_tiles_best():
         np.asarray(new.vector), np.tile(np.asarray(latents.vector[3])[None], (5, 1))
     )
     assert new.pose.shape == (5, 3)
+
+
+def test_on_center_halving_keeps_unresolved_axis_resolution():
+    """halve_mode="on_center": the search box shrinks only on epochs the
+    CENTER hypothesis wins — while an off-center arm keeps winning, the
+    box moves at constant resolution. Pinned with a deterministic pose
+    quadratic whose optimum sits outside the first boxes (the refscale
+    failure geometry: azimuth resolves by arm selection first, and
+    lockstep halving strands elevation — benchmarks/recon_arm_diag.py)."""
+    import dataclasses
+
+    true_az = math.radians(322.0)  # off-grid: selection must WALK to it
+    true_el = math.radians(12.0)
+    w = math.radians(6.0)
+
+    def pose_loss(model, latents, target, cfg):
+        # The refscale coupling (benchmarks/recon_arm_diag.py): elevation
+        # is only observable once azimuth is close — until then the el
+        # term is gated out, so early epochs rank azimuth alone.
+        d_az = latents.pose[:, 0] - true_az
+        d_el = latents.pose[:, 1] - true_el
+        return d_az**2 + jnp.exp(-(d_az / w) ** 2) * d_el**2
+
+    target = jnp.zeros((CFG.batch_size, 1, 1, 1))
+
+    def run(halve_mode):
+        cfg = dataclasses.replace(
+            CFG, inner_steps=1, max_epochs=10, pose_eta=0.0,
+            grid_shape="cross", halve_mode=halve_mode,
+        )
+        latents, history, _ = reconstruct(
+            ReconModel(decoder={}, texture={}, renderer={}), target, cfg,
+            loss_fn=pose_loss,
+        )
+        best = int(np.argmin(np.asarray(history[-1])))
+        az = math.degrees(float(latents.pose[best, 0])) % 360
+        el = math.degrees(float(latents.pose[best, 1]))
+        return abs(az - 322.0), abs(el - 12.0)
+
+    az_pc, el_pc = run("on_center")
+    # pose_eta=0 isolates pure box-search dynamics: on_center resolves
+    # azimuth first (arms win -> box MOVES at full resolution) and still
+    # has theta resolution left to walk elevation afterwards
+    assert az_pc < 2.0 and el_pc < 3.0, (az_pc, el_pc)
+    az_al, el_al = run("always")
+    # the reference's lockstep halving spends the theta box while the el
+    # signal is still gated off -> elevation strands (the r4/r5 refscale
+    # stall), while on_center recovers it
+    assert el_al > 4.0, (az_al, el_al)
+    assert el_pc < el_al, (el_pc, el_al)
