@@ -92,6 +92,10 @@ def main():
     p.add_argument("--halve-mode", choices=("always", "on_center"),
                    default="always",
                    help="box-shrink policy (ReconConfig.halve_mode)")
+    p.add_argument("--sequence-axes", action="store_true",
+                   help="azimuth-first box search: theta opens at full "
+                        "range on the first center win "
+                        "(ReconConfig.sequence_axes; needs on_center)")
     p.add_argument("--warmup-freeze-epochs", type=int, default=0,
                    help="epochs with texture/light etas zeroed so the box "
                         "search ranks POSE alone "
@@ -165,6 +169,7 @@ def main():
         pose_eta=args.pose_eta,
         el_eta_scale=args.el_eta_scale,
         halve_mode=args.halve_mode,
+        sequence_axes=args.sequence_axes,
         warmup_freeze_epochs=args.warmup_freeze_epochs,
         tex_eta=args.tex_eta,
         light_eta=0.1,

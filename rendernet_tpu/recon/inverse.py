@@ -95,6 +95,18 @@ class ReconConfig:
     # the box moves instead of shrinking, so a wrong early center cannot
     # strand the search outside its own reachable set).
     halve_mode: str = "always"
+    # Sequence the box search's axes (needs halve_mode="on_center"):
+    # start with theta_range = 0 — all five hypotheses differ only in
+    # azimuth — and OPEN the theta box (at theta_range0) the first time
+    # the center wins, i.e. once azimuth is resolved. Why: azimuth
+    # recovers by arm selection, and before it does, the elevation
+    # ranking is pure noise (benchmarks/recon_arm_diag.py) — with
+    # lockstep halving the theta box is spent by then (the r4 stall at
+    # el 9.4°), and with plain on_center the el center RANDOM-WALKS at
+    # +-theta_range/2 per epoch on that noise (measured: el err 34° by
+    # epoch 3, inverse_render_refscale_trained_r5 attempts). Sequencing
+    # gives each axis its full budget exactly when its signal is live.
+    sequence_axes: bool = False
     # Epochs during which texture and light etas are ZEROED, so every
     # hypothesis renders with the same (shared-init) texture and light
     # and the best-of-batch ranking reflects POSE alone. Measured
@@ -385,6 +397,19 @@ def reconstruct(
         )
     latents = initial_latents(cfg, seed) if initial is None else initial
     phi_range, theta_range = cfg.phi_range0, cfg.theta_range0
+    theta_pending = False
+    if cfg.sequence_axes:
+        if cfg.halve_mode != "on_center":
+            raise ValueError("sequence_axes requires halve_mode='on_center'")
+        # phase A: azimuth only — theta opens on the first center win
+        theta_range = 0.0
+        theta_pending = cfg.theta_range0 > 0
+        if initial is None:
+            pose = create_param_center(
+                cfg.phi_mid0, cfg.phi_range0, cfg.theta_mid0, 0.0,
+                cfg.batch_size, shape=cfg.grid_shape,
+            )
+            latents = latents._replace(pose=jnp.asarray(pose))
     history = []
     curves = []
     for epoch in range(cfg.max_epochs):
@@ -412,10 +437,16 @@ def reconstruct(
             # the center hypothesis won; a winning off-center arm means
             # the optimum is still outside the shrinking box, so move
             # the box (subdivided_latents re-centers on the winner)
-            # without shrinking it.
+            # without shrinking it. With sequence_axes, the first center
+            # win instead OPENS the theta box (azimuth is resolved; the
+            # elevation signal is live from here — see the config note).
             if cfg.halve_mode == "always" or best_idx % 5 == 2:
                 phi_range /= 2.0
-                theta_range /= 2.0
+                if theta_pending:
+                    theta_range = cfg.theta_range0
+                    theta_pending = False
+                else:
+                    theta_range /= 2.0
             latents = subdivided_latents(
                 latents, best_idx, phi_range, theta_range, cfg
             )
