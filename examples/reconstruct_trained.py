@@ -44,7 +44,19 @@ trained net (assets/texture_mid_face.npz: new_size=128, 512px — the
 reference face workload's camera-grid/image resolution) — pair with the
 reference budget ``--epochs 10 --inner-steps 200`` (5 hypotheses x 10
 epochs x 200 inner steps, config_reconstruction_RenderNet.json:9,11-12)
-for the round-4 trained reference-scale artifact.
+for the trained reference-scale artifacts.
+
+FULL-POSE RECOVERY RECIPE (round 5 — az 0.68 / el 0.17 deg, the
+committed inverse_render_refscale_trained_r5.json):
+
+    --halve-mode on_center --sequence-axes --warmup-freeze-epochs 8
+    --epochs 12
+
+i.e. axis-sequenced pattern search over FROZEN texture/light (per-arm
+losses are then the static pose landscape, which ranks elevation
+correctly — docs/performance.md "elevation recovered"), then unfrozen
+epochs recover light/color. The default flags reproduce the reference's
+schedule semantics instead.
 
 Usage: python examples/reconstruct_trained.py [--arch tiny|mid]
        [--epochs 6] [--inner-steps 60] [--out DIR] [--json PATH]
