@@ -65,6 +65,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "JSON (e.g. '{\"base\": 4, \"new_size\": 64}') — "
                         "lets --weights load reduced architectures such as "
                         "the committed showcase net assets/shader_tiny*")
+    p.add_argument("--fast", action="store_true",
+                   help="route the wide res-stack convs through the fused "
+                        "Winograd kernel: +22-30%% batched render "
+                        "throughput on TPU at sweep batches >= 8 "
+                        "(serving_bench_r5.json; the b>=8 envelope gate "
+                        "keeps single frames on the XLA path). Renders "
+                        "differ from the default path only by ~0.5%% "
+                        "bf16 transform rounding — the same forward the "
+                        "training-quality gate PASSED")
     p.add_argument("--resample", type=str, default="exact",
                    choices=["exact", "multipass"],
                    help="voxel resample kernel: exact trilinear (reference "
@@ -77,6 +86,11 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    if args.fast:
+        from rendernet_tpu.nn import layers
+
+        layers.WINOGRAD_2D = "pallas"
 
     from rendernet_tpu.io import binvox as binvox_rw
     from rendernet_tpu.models.shader import ShaderConfig, init_shader_params, shader_forward
