@@ -308,6 +308,12 @@ def _conv_op(x: jnp.ndarray, w: jnp.ndarray, stride, ndim: int) -> jnp.ndarray:
             fanin *= s
         if phase == "all" or fanin <= PHASE_MAX_FANIN:
             return phase_conv.phase_conv3d(x, w, tuple(stride))
+        # Wide fan-in: the FULL rewrite is a measured negative here, and
+        # the hybrid (XLA fwd/wgrad + phase-space data grad,
+        # phase_conv.phase_dgrad_conv3d) is ALSO a measured negative —
+        # its phase-split intermediates push the texture full-512 step
+        # over HBM (falls to batch 12, 21.6 vs 27.98 fps). Fall through
+        # to the plain strided conv.
     if ndim == 3 and pack:
         f = _depth_pack_factor(x, w, stride)
         if f > 1:

@@ -44,10 +44,17 @@ defaults.
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["phase_conv3d", "phase_conv3d_supported"]
+__all__ = [
+    "phase_conv3d",
+    "phase_conv3d_supported",
+    "phase_dgrad_conv3d",
+]
 
 
 def _same_pad_lo(n: int, k: int, s: int) -> int:
@@ -121,3 +128,53 @@ def phase_conv3d(x: jnp.ndarray, w: jnp.ndarray, stride) -> jnp.ndarray:
         padding=((-qhmin, qhmax), (-qwmin, qwmax), (-qdmin, qdmax)),
         dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid: XLA forward, phase-space DATA gradient.
+#
+# The round-5 texture A/B showed the FULL phase rewrite loses on wide
+# fan-in (5ch * 8 phases = 40): XLA's strided forward is better there,
+# and its wgrad is fine — but its DATA GRADIENT lowers to an
+# input-dilated conv back at the undecimated resolution, the single
+# biggest traced op of the texture step (44 ms for e_conv1's
+# bf16[24,128^3,5] dgrad). phase_conv3d == the strided conv EXACTLY (as
+# linear maps in x), so the adjoint of the phase expression is a valid —
+# and dense, decimated-resolution — implementation of the strided conv's
+# dgrad. This wrapper takes XLA's forward and wgrad and ONLY swaps the
+# dgrad.
+# ---------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def phase_dgrad_conv3d(x: jnp.ndarray, w: jnp.ndarray, stride) -> jnp.ndarray:
+    """``lax.conv_general_dilated(x, w, stride, 'SAME', NHWDC)`` whose VJP
+    computes the data grad through the phase-space adjoint (dense
+    stride-1 conv at the decimated resolution) instead of XLA's
+    input-dilated conv. Weight grad and forward are XLA's own."""
+    return lax.conv_general_dilated(
+        x, w, stride, "SAME", dimension_numbers=("NHWDC", "HWDIO", "NHWDC")
+    )
+
+
+def _pd_fwd(x, w, stride):
+    return phase_dgrad_conv3d(x, w, stride), (x, w)
+
+
+def _pd_bwd(stride, res, gy):
+    x, w = res
+    # gx: adjoint of the (identical) phase expression — jax.vjp of
+    # phase_conv3d at x; the gw cotangent it also offers is unused and
+    # DCE'd, because XLA's wgrad of the strided conv is kept instead.
+    _, vjp = jax.vjp(lambda xx: phase_conv3d(xx, w, stride), x)
+    (gx,) = vjp(gy)
+    _, wvjp = jax.vjp(
+        lambda ww: lax.conv_general_dilated(
+            x, ww, stride, "SAME",
+            dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+        ),
+        w,
+    )
+    (gw,) = wvjp(gy)
+    return gx.astype(x.dtype), gw.astype(w.dtype)
+
+
+phase_dgrad_conv3d.defvjp(_pd_fwd, _pd_bwd)

@@ -369,3 +369,37 @@ def test_phase_conv3d_dispatch_in_conv_op(rng):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_phase_dgrad_hybrid_matches_strided_conv(rng):
+    """phase_dgrad_conv3d (XLA fwd/wgrad, phase-space data grad): values
+    and BOTH gradients equal lax.conv_general_dilated — the adjoint of
+    the identical linear map, just computed at the decimated
+    resolution."""
+    import jax
+    from jax import lax
+
+    from rendernet_tpu.ops.phase_conv import phase_dgrad_conv3d
+
+    stride = (2, 2, 2)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 16, 5)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((5, 5, 5, 5, 8)).astype(np.float32) * 0.1
+    )
+
+    def ref(x, w):
+        return lax.conv_general_dilated(
+            x, w, stride, "SAME", dimension_numbers=("NHWDC", "HWDIO", "NHWDC")
+        )
+
+    got = phase_dgrad_conv3d(x, w, stride)
+    want = ref(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    gy = jnp.asarray(rng.standard_normal(want.shape).astype(np.float32))
+    gx1, gw1 = jax.vjp(lambda x, w: phase_dgrad_conv3d(x, w, stride), x, w)[1](gy)
+    gx2, gw2 = jax.vjp(ref, x, w)[1](gy)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=2e-5, atol=3e-5)
